@@ -1,0 +1,183 @@
+"""Rotated-rectangle BEV overlap / IoU, fully vectorized in jnp.
+
+Port of the CUDA exact polygon-clipping overlap
+(``/root/reference/lib/utils/iou3d/src/iou3d_kernel.cu``: segment
+intersection :67-96, corner containment :50-66, vertex sort + shoelace
+:186-211) and the 3D IoU composition of the python wrapper
+(``lib/utils/iou3d/iou3d_utils.py:21-54``).
+
+The CUDA code runs one thread per (box_a, box_b) pair with serial loops and
+bubble sort; here every pair is a lane: the up-to-24 candidate vertices
+(16 edge intersections + 8 contained corners) live in a fixed trailing
+dimension, invalid slots are masked, and the vertex sort is an argsort over
+angle. This maps onto the TPU VPU with no data-dependent shapes.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+EPS = 1e-8
+MARGIN = 1e-5
+
+
+def _bev_corners(boxes: jnp.ndarray) -> jnp.ndarray:
+    """(..., 5) [x1, y1, x2, y2, angle] -> (..., 4, 2) rotated corners.
+
+    Same rotation as ``rotate_around_center`` (iou3d_kernel.cu:98-103).
+    """
+    x1, y1, x2, y2, ang = (boxes[..., i] for i in range(5))
+    cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+    xs = jnp.stack([x1, x2, x2, x1], axis=-1)
+    ys = jnp.stack([y1, y1, y2, y2], axis=-1)
+    c, s = jnp.cos(ang)[..., None], jnp.sin(ang)[..., None]
+    dx, dy = xs - cx[..., None], ys - cy[..., None]
+    nx = dx * c + dy * s + cx[..., None]
+    ny = -dx * s + dy * c + cy[..., None]
+    return jnp.stack([nx, ny], axis=-1)
+
+
+def _cross(o, a, b):
+    """cross(p1, p2, p0) from iou3d_kernel.cu:38-40 with (a, b, o) naming."""
+    return (a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1]) - \
+           (b[..., 0] - o[..., 0]) * (a[..., 1] - o[..., 1])
+
+
+def _point_in_box(boxes: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """check_in_box2d (iou3d_kernel.cu:50-66). boxes (..., 5), pts (..., K, 2)."""
+    x1, y1, x2, y2, ang = (boxes[..., i, None] for i in range(5))
+    cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+    c, s = jnp.cos(-ang), jnp.sin(-ang)
+    rx = (pts[..., 0] - cx) * c + (pts[..., 1] - cy) * s + cx
+    ry = -(pts[..., 0] - cx) * s + (pts[..., 1] - cy) * c + cy
+    return (rx > x1 - MARGIN) & (rx < x2 + MARGIN) & (ry > y1 - MARGIN) & (ry < y2 + MARGIN)
+
+
+def rotated_overlap_bev(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
+    """Exact intersection area of rotated rects; (N, 5) x (M, 5) -> (N, M)."""
+    N, M = boxes_a.shape[0], boxes_b.shape[0]
+    ca = _bev_corners(boxes_a)  # (N, 4, 2)
+    cb = _bev_corners(boxes_b)  # (M, 4, 2)
+
+    # broadcast pair grid
+    A = jnp.broadcast_to(boxes_a[:, None, :], (N, M, 5))
+    B = jnp.broadcast_to(boxes_b[None, :, :], (N, M, 5))
+    ca_p = jnp.broadcast_to(ca[:, None], (N, M, 4, 2))
+    cb_p = jnp.broadcast_to(cb[None, :], (N, M, 4, 2))
+
+    # segments: (start, end) = (corner[i], corner[(i+1) % 4])
+    a0 = ca_p                                  # p0
+    a1 = jnp.roll(ca_p, -1, axis=-2)           # p1
+    b0 = cb_p
+    b1 = jnp.roll(cb_p, -1, axis=-2)
+
+    # all 16 segment pairs: expand to (N, M, 4, 4, 2)
+    p0 = a0[..., :, None, :]
+    p1 = a1[..., :, None, :]
+    q0 = b0[..., None, :, :]
+    q1 = b1[..., None, :, :]
+
+    # bounding-rect rejection (iou3d_kernel.cu:42-48)
+    def lohi(u, v, k):
+        return jnp.minimum(u[..., k], v[..., k]), jnp.maximum(u[..., k], v[..., k])
+
+    pxl, pxh = lohi(p0, p1, 0)
+    qxl, qxh = lohi(q0, q1, 0)
+    pyl, pyh = lohi(p0, p1, 1)
+    qyl, qyh = lohi(q0, q1, 1)
+    rect_ok = (pxl <= qxh) & (qxl <= pxh) & (pyl <= qyh) & (qyl <= pyh)
+
+    s1 = _cross(p0, q0, p1)
+    s2 = _cross(p0, p1, q1)
+    s3 = _cross(q0, p0, q1)
+    s4 = _cross(q0, q1, p1)
+    cross_ok = (s1 * s2 > 0) & (s3 * s4 > 0)
+    inter_valid = rect_ok & cross_ok  # (N, M, 4, 4)
+
+    s5 = _cross(p0, q1, p1)
+    denom = s5 - s1
+    primary = jnp.abs(denom) > EPS
+    safe_denom = jnp.where(primary, denom, 1.0)
+    ix1 = (s5 * q0[..., 0] - s1 * q1[..., 0]) / safe_denom
+    iy1 = (s5 * q0[..., 1] - s1 * q1[..., 1]) / safe_denom
+
+    a0c = p0[..., 1] - p1[..., 1]
+    b0c = p1[..., 0] - p0[..., 0]
+    c0c = p0[..., 0] * p1[..., 1] - p1[..., 0] * p0[..., 1]
+    a1c = q0[..., 1] - q1[..., 1]
+    b1c = q1[..., 0] - q0[..., 0]
+    c1c = q0[..., 0] * q1[..., 1] - q1[..., 0] * q0[..., 1]
+    D = a0c * b1c - a1c * b0c
+    safe_D = jnp.where(jnp.abs(D) > 0, D, 1.0)
+    ix2 = (b0c * c1c - b1c * c0c) / safe_D
+    iy2 = (a1c * c0c - a0c * c1c) / safe_D
+
+    ix = jnp.where(primary, ix1, ix2)
+    iy = jnp.where(primary, iy1, iy2)
+    inter_pts = jnp.stack([ix, iy], axis=-1).reshape(N, M, 16, 2)
+    inter_valid = inter_valid.reshape(N, M, 16)
+
+    # contained corners (8 candidates)
+    b_in_a = _point_in_box(A, cb_p)  # (N, M, 4)
+    a_in_b = _point_in_box(B, ca_p)
+    corner_pts = jnp.concatenate([cb_p, ca_p], axis=-2)  # (N, M, 8, 2)
+    corner_valid = jnp.concatenate([b_in_a, a_in_b], axis=-1)
+
+    pts = jnp.concatenate([inter_pts, corner_pts], axis=-2)  # (N, M, 24, 2)
+    valid = jnp.concatenate([inter_valid, corner_valid], axis=-1)  # (N, M, 24)
+
+    cnt = jnp.sum(valid, axis=-1)  # (N, M)
+    vf = valid[..., None].astype(pts.dtype)
+    center = jnp.sum(pts * vf, axis=-2) / jnp.clip(cnt[..., None], 1, None)
+
+    ang = jnp.arctan2(pts[..., 1] - center[..., None, 1], pts[..., 0] - center[..., None, 0])
+    ang = jnp.where(valid, ang, jnp.inf)  # invalid slots sort to the end
+    order = jnp.argsort(ang, axis=-1)
+    sorted_pts = jnp.take_along_axis(pts, order[..., None], axis=-2)
+
+    slot = jnp.arange(pts.shape[-2])
+    in_poly = slot < cnt[..., None]
+    anchor = sorted_pts[..., 0:1, :]
+    sorted_pts = jnp.where(in_poly[..., None], sorted_pts, anchor)
+
+    v0 = sorted_pts - anchor  # (N, M, 24, 2)
+    v1 = jnp.roll(v0, -1, axis=-2)
+    tri = v0[..., 0] * v1[..., 1] - v0[..., 1] * v1[..., 0]
+    # fan triangles k = 0..cnt-2 (last roll wraps to anchor -> zero term anyway)
+    area = jnp.abs(jnp.sum(tri[..., :-1], axis=-1)) / 2.0
+    return jnp.where(cnt > 0, area, 0.0)
+
+
+def boxes_iou_bev(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
+    """Rotated BEV IoU (iou3d_kernel.cu:214-221)."""
+    sa = (boxes_a[:, 2] - boxes_a[:, 0]) * (boxes_a[:, 3] - boxes_a[:, 1])
+    sb = (boxes_b[:, 2] - boxes_b[:, 0]) * (boxes_b[:, 3] - boxes_b[:, 1])
+    ov = rotated_overlap_bev(boxes_a, boxes_b)
+    return ov / jnp.clip(sa[:, None] + sb[None, :] - ov, EPS, None)
+
+
+def boxes_iou3d(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
+    """3D IoU of (N, 7) x (M, 7) boxes (iou3d_utils.py:21-54)."""
+    from .boxes import boxes3d_to_bev
+
+    ov_bev = rotated_overlap_bev(boxes3d_to_bev(boxes_a), boxes3d_to_bev(boxes_b))
+    a_min, a_max = boxes_a[:, 1] - boxes_a[:, 3], boxes_a[:, 1]
+    b_min, b_max = boxes_b[:, 1] - boxes_b[:, 3], boxes_b[:, 1]
+    ov_h = jnp.clip(jnp.minimum(a_max[:, None], b_max[None, :])
+                    - jnp.maximum(a_min[:, None], b_min[None, :]), 0.0, None)
+    ov3d = ov_bev * ov_h
+    vol_a = boxes_a[:, 3] * boxes_a[:, 4] * boxes_a[:, 5]
+    vol_b = boxes_b[:, 3] * boxes_b[:, 4] * boxes_b[:, 5]
+    return ov3d / jnp.clip(vol_a[:, None] + vol_b[None, :] - ov3d, 1e-7, None)
+
+
+def iou_axis_aligned(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
+    """Axis-aligned BEV IoU ignoring angle (iou_normal, iou3d_kernel.cu:295-304)."""
+    lx = jnp.maximum(boxes_a[:, None, 0], boxes_b[None, :, 0])
+    rx = jnp.minimum(boxes_a[:, None, 2], boxes_b[None, :, 2])
+    ly = jnp.maximum(boxes_a[:, None, 1], boxes_b[None, :, 1])
+    ry = jnp.minimum(boxes_a[:, None, 3], boxes_b[None, :, 3])
+    inter = jnp.clip(rx - lx, 0.0, None) * jnp.clip(ry - ly, 0.0, None)
+    sa = (boxes_a[:, 2] - boxes_a[:, 0]) * (boxes_a[:, 3] - boxes_a[:, 1])
+    sb = (boxes_b[:, 2] - boxes_b[:, 0]) * (boxes_b[:, 3] - boxes_b[:, 1])
+    return inter / jnp.clip(sa[:, None] + sb[None, :] - inter, EPS, None)

@@ -1,0 +1,130 @@
+"""Unit tests for point primitives against brute-force numpy oracles.
+
+Oracles implement the CUDA semantics documented in SURVEY.md §2.1
+(sampling_gpu.cu, ball_query_gpu.cu, group_points_gpu.cu,
+interpolate_gpu.cu) independently in numpy.
+"""
+
+import numpy as np
+import pytest
+
+from epnet_tpu.ops import (
+    ball_query,
+    furthest_point_sample_xla,
+    gather_points,
+    group_points,
+    three_interpolate,
+    three_nn,
+)
+
+
+def np_fps(xyz, npoint):
+    B, N, _ = xyz.shape
+    idxs = np.zeros((B, npoint), dtype=np.int64)
+    for b in range(B):
+        mind = np.full(N, 1e10, dtype=np.float64)
+        last = 0
+        for j in range(1, npoint):
+            d = np.sum((xyz[b] - xyz[b, last]) ** 2, axis=-1)
+            mind = np.minimum(mind, d)
+            last = int(np.argmax(mind))
+            idxs[b, j] = last
+    return idxs
+
+
+def np_ball_query(radius, nsample, xyz, new_xyz):
+    B, N, _ = xyz.shape
+    M = new_xyz.shape[1]
+    out = np.zeros((B, M, nsample), dtype=np.int64)
+    for b in range(B):
+        for m in range(M):
+            cnt = 0
+            for k in range(N):
+                d2 = np.sum((new_xyz[b, m] - xyz[b, k]) ** 2)
+                if d2 < radius * radius:
+                    if cnt == 0:
+                        out[b, m, :] = k
+                    out[b, m, cnt] = k
+                    cnt += 1
+                    if cnt >= nsample:
+                        break
+    return out
+
+
+@pytest.fixture(scope='module')
+def rng():
+    return np.random.RandomState(0)
+
+
+def test_fps_matches_oracle(rng):
+    xyz = rng.randn(2, 128, 3).astype(np.float32)
+    got = np.asarray(furthest_point_sample_xla(xyz, 32))
+    want = np_fps(xyz.astype(np.float64), 32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fps_selects_distinct_points(rng):
+    xyz = rng.randn(1, 256, 3).astype(np.float32)
+    idx = np.asarray(furthest_point_sample_xla(xyz, 64))[0]
+    assert len(set(idx.tolist())) == 64
+    assert idx[0] == 0
+
+
+def test_ball_query_matches_oracle(rng):
+    xyz = rng.randn(2, 200, 3).astype(np.float32)
+    new_xyz = xyz[:, :40]
+    got = np.asarray(ball_query(0.8, 16, xyz, new_xyz))
+    want = np_ball_query(0.8, 16, xyz, new_xyz)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ball_query_empty_ball(rng):
+    xyz = np.ones((1, 64, 3), dtype=np.float32) * 100.0
+    new_xyz = np.zeros((1, 4, 3), dtype=np.float32)
+    got = np.asarray(ball_query(0.5, 8, xyz, new_xyz))
+    np.testing.assert_array_equal(got, 0)
+
+
+def test_ball_query_chunked_path(rng):
+    # force chunking with a tiny element budget
+    xyz = rng.randn(2, 64, 3).astype(np.float32)
+    new_xyz = xyz[:, :32]
+    a = np.asarray(ball_query(0.9, 8, xyz, new_xyz))
+    b = np.asarray(ball_query(0.9, 8, xyz, new_xyz, max_block_elems=256))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_gather_and_group(rng):
+    pts = rng.randn(2, 50, 7).astype(np.float32)
+    idx = rng.randint(0, 50, size=(2, 10)).astype(np.int32)
+    got = np.asarray(gather_points(pts, idx))
+    for b in range(2):
+        np.testing.assert_array_equal(got[b], pts[b, idx[b]])
+
+    gidx = rng.randint(0, 50, size=(2, 10, 4)).astype(np.int32)
+    ggot = np.asarray(group_points(pts, gidx))
+    for b in range(2):
+        np.testing.assert_array_equal(ggot[b], pts[b][gidx[b]])
+
+
+def test_three_nn_matches_bruteforce(rng):
+    unknown = rng.randn(2, 100, 3).astype(np.float32)
+    known = rng.randn(2, 30, 3).astype(np.float32)
+    dist, idx = three_nn(unknown, known)
+    dist, idx = np.asarray(dist), np.asarray(idx)
+    for b in range(2):
+        d2 = np.sum((unknown[b][:, None] - known[b][None]) ** 2, axis=-1)
+        order = np.argsort(d2, axis=1)[:, :3]
+        np.testing.assert_array_equal(np.sort(idx[b], axis=1), np.sort(order, axis=1))
+        np.testing.assert_allclose(
+            np.sort(dist[b], axis=1), np.sort(np.sqrt(np.take_along_axis(d2, order, 1)), axis=1),
+            rtol=1e-4, atol=1e-5)
+
+
+def test_three_interpolate(rng):
+    feats = rng.randn(1, 20, 5).astype(np.float32)
+    idx = rng.randint(0, 20, size=(1, 40, 3)).astype(np.int32)
+    w = rng.rand(1, 40, 3).astype(np.float32)
+    got = np.asarray(three_interpolate(feats, idx, w))
+    want = np.einsum('nkc,nk->nc', feats[0][idx[0]], w[0])
+    np.testing.assert_allclose(got[0], want, rtol=1e-5, atol=1e-5)
