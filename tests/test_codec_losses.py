@@ -182,7 +182,7 @@ def test_reg_loss_perfect_prediction_near_zero(rng):
 
 def test_reg_loss_empty_fg_is_zero(rng):
     gt = make_gt(rng, 8)
-    reg = rng.randn(8, 44).astype(np.float32)
+    reg = rng.randn(8, 12 * 4 + 12 * 2 + 4).astype(np.float32)
     fg = np.zeros(8, dtype=np.float32)
     loc, angle, size, iou, _ = get_reg_loss(
         fg, fg, reg, gt, fg, loc_scope=3.0, loc_bin_size=0.5, num_head_bin=12,
