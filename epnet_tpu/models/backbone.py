@@ -1,0 +1,102 @@
+"""Two-stream RPN backbone: PointNet++ MSG encoder/decoder with optional
+LI-Fusion image stream.
+
+Rebuild of ``Pointnet2MSG`` (``/root/reference/lib/net/pointnet2_msg.py:
+127-248``): 4 MSG SA stages (16384 -> 4096 -> 1024 -> 256 -> 64 points)
+fused per-stage with a strided image CNN via projected-coordinate bilinear
+gathers and attention fusion, then 4 FP stages back to full resolution and
+a deconv image pyramid fused into the final 128-d point features.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import Config
+from ..ops.pointops import gather_points
+from .fusion import AttenFusionConv, DeConvUp, FusionConv, ImageBlock, feature_gather
+from .layers import BatchNorm, kaiming_normal
+from .pointnet2 import FPModule, SAModuleMSG
+
+IMG_SIZE = (1280.0, 384.0)  # fixed KITTI pad size (pointnet2_msg.py:207-210)
+
+
+class PointBackbone(nn.Module):
+    """Returns (xyz (B, N, 3), features (B, N, 128))."""
+
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, pts_input, image=None, xy=None, train: bool = False, bn_momentum=0.1):
+        cfg = self.cfg
+        sa = cfg.RPN.SA_CONFIG
+        li = cfg.LI_FUSION
+
+        xyz = pts_input[..., 0:3]
+        feats = pts_input[..., 3:] if pts_input.shape[-1] > 3 else None
+
+        l_xyz, l_feats = [xyz], [feats]
+
+        if li.ENABLED:
+            # normalize pixel coords to [-1, 1] (pointnet2_msg.py:207-210)
+            xy_norm = jnp.stack([
+                xy[..., 0] / (IMG_SIZE[0] - 1.0) * 2.0 - 1.0,
+                xy[..., 1] / (IMG_SIZE[1] - 1.0) * 2.0 - 1.0,
+            ], axis=-1)
+            l_xy = [xy_norm]
+            imgs = [image]
+
+        for i in range(len(sa.NPOINTS)):
+            li_xyz, li_feats_i, fps_idx = SAModuleMSG(
+                npoint=sa.NPOINTS[i], radii=sa.RADIUS[i], nsamples=sa.NSAMPLE[i],
+                mlps=sa.MLPS[i], use_xyz=True, bn=cfg.RPN.USE_BN,
+                name=f'sa{i}')(l_xyz[i], l_feats[i], train=train, bn_momentum=bn_momentum)
+
+            if li.ENABLED:
+                li_xy = gather_points(l_xy[i], fps_idx)
+                img_i = ImageBlock(li.IMG_CHANNELS[i + 1], name=f'img_block{i}')(
+                    imgs[i], train=train, bn_momentum=bn_momentum)
+                img_gathered = feature_gather(img_i, li_xy)
+                if li.ADD_Image_Attention:
+                    li_feats_i = AttenFusionConv(li.POINT_CHANNELS[i], name=f'fusion{i}')(
+                        li_feats_i, img_gathered, train=train, bn_momentum=bn_momentum)
+                else:
+                    li_feats_i = FusionConv(li.POINT_CHANNELS[i], name=f'fusion{i}')(
+                        li_feats_i, img_gathered, train=train, bn_momentum=bn_momentum)
+                l_xy.append(li_xy)
+                imgs.append(img_i)
+
+            l_xyz.append(li_xyz)
+            l_feats.append(li_feats_i)
+
+        # FP decoder with skip connections (pointnet2_msg.py:232-235)
+        n_fp = len(cfg.RPN.FP_MLPS)
+        fp_mods = [FPModule(mlp=cfg.RPN.FP_MLPS[k], bn=cfg.RPN.USE_BN, name=f'fp{k}')
+                   for k in range(n_fp)]
+        for i in range(-1, -(n_fp + 1), -1):
+            l_feats[i - 1] = fp_mods[i](
+                l_xyz[i - 1], l_xyz[i], l_feats[i - 1], l_feats[i],
+                train=train, bn_momentum=bn_momentum)
+
+        if li.ENABLED:
+            # deconv pyramid back to full image resolution (pointnet2_msg.py:239-246)
+            ups = [DeConvUp(li.DeConv_Reduce[i], li.DeConv_Kernels[i], name=f'deconv{i}')(imgs[i + 1])
+                   for i in range(len(li.IMG_CHANNELS) - 1)]
+            de_concat = jnp.concatenate(ups, axis=-1)
+            img_fusion = nn.Dense(li.IMG_FEATURES_CHANNEL // 4, use_bias=False,
+                                  kernel_init=kaiming_normal(), name='image_fusion_conv')(de_concat)
+            img_fusion = BatchNorm(name='image_fusion_bn')(img_fusion, train=train,
+                                                           momentum=bn_momentum)
+            img_fusion = nn.relu(img_fusion)
+            img_pt = feature_gather(img_fusion, xy_norm)
+            if li.ADD_Image_Attention:
+                l_feats[0] = AttenFusionConv(li.IMG_FEATURES_CHANNEL, name='final_fusion')(
+                    l_feats[0], img_pt, train=train, bn_momentum=bn_momentum)
+            else:
+                l_feats[0] = FusionConv(li.IMG_FEATURES_CHANNEL, name='final_fusion')(
+                    l_feats[0], img_pt, train=train, bn_momentum=bn_momentum)
+
+        return l_xyz[0], l_feats[0]

@@ -1,0 +1,102 @@
+"""LI-Fusion: image stream blocks and the point<->image attention fusion.
+
+Rebuild of ``/root/reference/lib/net/pointnet2_msg.py``: BasicBlock (:17-33),
+Fusion_Conv (:35-48), IA_Layer (:52-81), Atten_Fusion_Conv (:84-104),
+Feature_Gather (:107-120) — all channels-last (NHWC images, (B, N, C)
+points) so 1x1 convs and the attention MLPs are MXU matmuls.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.grid_sample import grid_sample_points
+from .layers import BatchNorm, Conv2dBlock, kaiming_normal
+
+
+class ImageBlock(nn.Module):
+    """conv3x3(s1) -> BN -> ReLU -> conv3x3(s2); halves resolution
+    (pointnet2_msg.py:17-33)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, bn_momentum=0.1):
+        x = Conv2dBlock(self.features, kernel=3, stride=1, bn=True, activation=True)(
+            x, train=train, bn_momentum=bn_momentum)
+        x = Conv2dBlock(self.features, kernel=3, stride=2)(x, train=train)
+        return x
+
+
+def feature_gather(feature_map, xy_norm):
+    """Bilinear image-feature fetch at projected point locations
+    (Feature_Gather, pointnet2_msg.py:107-120). NHWC in, (B, N, C) out."""
+    return grid_sample_points(feature_map, xy_norm)
+
+
+class IALayer(nn.Module):
+    """Image attention: per-point scalar gate on image features
+    (IA_Layer, pointnet2_msg.py:52-81)."""
+
+    point_channels: int
+
+    @nn.compact
+    def __call__(self, img_feats, point_feats, train: bool = False, bn_momentum=0.1):
+        pc = self.point_channels
+        rc = pc // 4
+        ri = nn.Dense(rc, kernel_init=kaiming_normal())(img_feats)
+        rp = nn.Dense(rc, kernel_init=kaiming_normal())(point_feats)
+        att = jax.nn.sigmoid(nn.Dense(1, kernel_init=kaiming_normal())(jnp.tanh(ri + rp)))
+        img_new = nn.Dense(pc, use_bias=False, kernel_init=kaiming_normal())(img_feats)
+        img_new = BatchNorm()(img_new, train=train, momentum=bn_momentum)
+        img_new = nn.relu(img_new)
+        return img_new * att
+
+
+class AttenFusionConv(nn.Module):
+    """concat(point, gated image) -> 1x1 conv + BN + ReLU
+    (Atten_Fusion_Conv, pointnet2_msg.py:84-104)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, point_feats, img_feats, train: bool = False, bn_momentum=0.1):
+        pc = point_feats.shape[-1]
+        gated = IALayer(point_channels=pc)(img_feats, point_feats,
+                                           train=train, bn_momentum=bn_momentum)
+        x = jnp.concatenate([point_feats, gated], axis=-1)
+        x = nn.Dense(self.out_channels, use_bias=False, kernel_init=kaiming_normal())(x)
+        x = BatchNorm()(x, train=train, momentum=bn_momentum)
+        return nn.relu(x)
+
+
+class FusionConv(nn.Module):
+    """Non-attention variant: concat -> 1x1 conv + BN + ReLU
+    (Fusion_Conv, pointnet2_msg.py:35-48)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, point_feats, img_feats, train: bool = False, bn_momentum=0.1):
+        x = jnp.concatenate([point_feats, img_feats], axis=-1)
+        x = nn.Dense(self.out_channels, use_bias=False, kernel_init=kaiming_normal())(x)
+        x = BatchNorm()(x, train=train, momentum=bn_momentum)
+        return nn.relu(x)
+
+
+class DeConvUp(nn.Module):
+    """Transposed-conv upsample head bringing one image scale to full
+    resolution (pointnet2_msg.py:170-172)."""
+
+    features: int
+    kernel: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.ConvTranspose(self.features, (self.kernel, self.kernel),
+                                strides=(self.kernel, self.kernel),
+                                kernel_init=kaiming_normal())(x)

@@ -1,0 +1,118 @@
+"""Core NN building blocks (flax.linen, channels-last / NHWC).
+
+Replaces the reference's ``pointnet2_lib/pointnet2/pytorch_utils.py``
+(SharedMLP :5-32, Conv1d/Conv2d wrappers :35-235). Differences that are
+TPU-first on purpose:
+
+  * channels-last everywhere: point features are (B, N, C) and images are
+    NHWC, so the 1x1 convs become plain matmuls that tile onto the MXU.
+  * BatchNorm takes its (torch-convention) momentum as a *call argument* so
+    the reference's BN-momentum schedule (train_utils.py:22-43) becomes a
+    traced scalar instead of a module mutation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def kaiming_normal():
+    # matches torch.nn.init.kaiming_normal_ (fan_in, relu gain) used at
+    # pytorch_utils.py (init=nn.init.kaiming_normal_)
+    return nn.initializers.variance_scaling(2.0, 'fan_in', 'truncated_normal')
+
+
+class BatchNorm(nn.Module):
+    """Torch-semantics batch norm with runtime momentum.
+
+    running = (1 - m) * running + m * batch   (torch convention; the
+    reference schedules m per epoch, train_utils.py:22-43). Normalization
+    uses biased batch variance; the running update uses the unbiased one,
+    matching torch.nn.BatchNorm.
+    """
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train: bool, momentum=0.1):
+        C = x.shape[-1]
+        ra_mean = self.variable('batch_stats', 'mean', lambda: jnp.zeros(C, jnp.float32))
+        ra_var = self.variable('batch_stats', 'var', lambda: jnp.ones(C, jnp.float32))
+        scale = self.param('scale', nn.initializers.ones, (C,))
+        bias = self.param('bias', nn.initializers.zeros, (C,))
+
+        if train:
+            red = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axis=red)
+            var = jnp.mean(jnp.square(x), axis=red) - jnp.square(mean)
+            n = 1
+            for d in red:
+                n *= x.shape[d]
+            unbiased = var * (n / max(n - 1, 1))
+            if not self.is_initializing():
+                m = jnp.asarray(momentum, jnp.float32)
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean.astype(jnp.float32)
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased.astype(jnp.float32)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = jax.lax.rsqrt(var.astype(x.dtype) + self.eps)
+        return (x - mean.astype(x.dtype)) * inv * scale + bias
+
+
+class PointwiseConv(nn.Module):
+    """Dense applied over the channel (last) axis — the 1x1 Conv1d/Conv2d of
+    the reference (pytorch_utils.py:35-235) expressed as an MXU matmul."""
+
+    features: int
+    bn: bool = True
+    activation: bool = True
+    kernel_init: Callable = kaiming_normal()
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, bn_momentum=0.1):
+        x = nn.Dense(self.features, use_bias=not self.bn, kernel_init=self.kernel_init)(x)
+        if self.bn:
+            x = BatchNorm()(x, train=train, momentum=bn_momentum)
+        if self.activation:
+            x = nn.relu(x)
+        return x
+
+
+class SharedMLP(nn.Module):
+    """Stack of PointwiseConv blocks (pytorch_utils.py:5-32)."""
+
+    features: Sequence[int]
+    bn: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, bn_momentum=0.1):
+        for f in self.features:
+            x = PointwiseConv(f, bn=self.bn)(x, train=train, bn_momentum=bn_momentum)
+        return x
+
+
+class Conv2dBlock(nn.Module):
+    """NHWC KxK conv (+ optional BN/ReLU) for the image stream."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    bn: bool = False
+    activation: bool = False
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, bn_momentum=0.1):
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride), padding='SAME',
+                    use_bias=self.use_bias, kernel_init=kaiming_normal())(x)
+        if self.bn:
+            x = BatchNorm()(x, train=train, momentum=bn_momentum)
+        if self.activation:
+            x = nn.relu(x)
+        return x

@@ -1,0 +1,105 @@
+"""PointNet++ set-abstraction (MSG) and feature-propagation modules.
+
+Functional rebuild of ``/root/reference/pointnet2_lib/pointnet2/
+pointnet2_modules.py`` (SA base :19-72, MSG :75-109, FP :133-173) on the
+padded-shape JAX ops. Feature tensors are channels-last (B, N, C); the
+per-scale MLP over grouped neighbourhoods is a (B*M*S, C) matmul on the MXU
+followed by a max over the sample axis.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.pointops import (
+    ball_query,
+    furthest_point_sample,
+    gather_points,
+    group_points,
+    three_interpolate,
+    three_nn,
+)
+from .layers import SharedMLP
+
+
+class SAModuleMSG(nn.Module):
+    """Multi-scale-grouping set abstraction.
+
+    Returns (new_xyz (B, M, 3), new_features (B, M, sum(mlp[-1])), fps_idx
+    (B, M)); the fps indices are surfaced for LI-Fusion's point->pixel
+    bookkeeping exactly like the reference (pointnet2_modules.py:72,
+    consumed at lib/net/pointnet2_msg.py:215-219).
+    """
+
+    npoint: Optional[int]
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]  # per-scale hidden sizes (without input dim)
+    use_xyz: bool = True
+    bn: bool = True
+
+    @nn.compact
+    def __call__(self, xyz, features=None, train: bool = False, bn_momentum=0.1):
+        if self.npoint is not None:
+            fps_idx = furthest_point_sample(xyz, self.npoint)
+            new_xyz = gather_points(xyz, fps_idx)
+        else:  # group-all (reference GroupAll, pointnet2_utils.py:283-306)
+            fps_idx = None
+            new_xyz = None
+
+        outs = []
+        for i, hidden in enumerate(self.mlps):
+            if self.npoint is not None:
+                idx = ball_query(self.radii[i], self.nsamples[i], xyz, new_xyz)
+                grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+                if features is not None:
+                    grouped = group_points(features, idx)
+                    g = jnp.concatenate([grouped_xyz, grouped], -1) if self.use_xyz else grouped
+                else:
+                    g = grouped_xyz
+            else:
+                # group all: (B, 1, N, 3 + C); xyz NOT recentred (GroupAll)
+                g = xyz[:, None, :, :]
+                if features is not None:
+                    g = jnp.concatenate([g, features[:, None, :, :]], -1) if self.use_xyz \
+                        else features[:, None, :, :]
+            g = SharedMLP(hidden, bn=self.bn)(g, train=train, bn_momentum=bn_momentum)
+            outs.append(jnp.max(g, axis=2))  # max over the sample axis
+
+        new_features = jnp.concatenate(outs, axis=-1)
+        if new_xyz is None:
+            new_xyz = jnp.zeros((xyz.shape[0], 1, 3), xyz.dtype)
+        return new_xyz, new_features, fps_idx
+
+
+class SAModule(SAModuleMSG):
+    """Single-scale convenience wrapper (pointnet2_modules.py:112-130)."""
+
+
+class FPModule(nn.Module):
+    """Feature propagation: inverse-distance 3-NN interpolation + skip MLP
+    (pointnet2_modules.py:133-173)."""
+
+    mlp: Sequence[int]
+    bn: bool = True
+
+    @nn.compact
+    def __call__(self, unknown, known, unknown_feats, known_feats,
+                 train: bool = False, bn_momentum=0.1):
+        if known is not None:
+            dist, idx = three_nn(unknown, known)
+            recip = 1.0 / (dist + 1e-8)
+            weight = recip / jnp.sum(recip, axis=-1, keepdims=True)
+            interp = three_interpolate(known_feats, idx, weight)  # (B, N, C2)
+        else:
+            interp = jnp.broadcast_to(
+                known_feats, (known_feats.shape[0], unknown.shape[1], known_feats.shape[-1]))
+
+        if unknown_feats is not None:
+            x = jnp.concatenate([interp, unknown_feats], axis=-1)
+        else:
+            x = interp
+        return SharedMLP(self.mlp, bn=self.bn)(x, train=train, bn_momentum=bn_momentum)

@@ -30,7 +30,10 @@ def available() -> bool:
         return False
 
 
-def _fps_kernel(xs_ref, ys_ref, zs_ref, out_ref, mind_ref, *, npoint: int, n: int):
+_SUB = 8  # output is staged as (8, P) in VMEM to satisfy tiling rules
+
+
+def _fps_kernel(xs_ref, ys_ref, zs_ref, out_ref, mind_ref, idx_ref, *, npoint: int, n: int):
     rows = n // _LANE
     flat_iota = (
         lax.broadcasted_iota(jnp.int32, (rows, _LANE), 0) * _LANE
@@ -38,20 +41,31 @@ def _fps_kernel(xs_ref, ys_ref, zs_ref, out_ref, mind_ref, *, npoint: int, n: in
     )
 
     mind_ref[:] = jnp.full((rows, _LANE), 1e10, dtype=jnp.float32)
-    out_ref[0, 0] = 0
+    idx_ref[:] = jnp.zeros_like(idx_ref)
+    P = idx_ref.shape[1]
+    # sample j lives at (j % 8, j // 8): the lane axis advances fastest
+    out_slot = (
+        lax.broadcasted_iota(jnp.int32, (_SUB, P), 0)
+        + lax.broadcasted_iota(jnp.int32, (_SUB, P), 1) * _SUB
+    )
 
     def body(j, last):
-        r, c = last // _LANE, last % _LANE
-        x1, y1, z1 = xs_ref[0, r, c], ys_ref[0, r, c], zs_ref[0, r, c]
+        # scalar VMEM loads/stores are not supported: fetch the selected
+        # point's coordinates with masked reductions instead
+        sel = flat_iota == last
+        x1 = jnp.max(jnp.where(sel, xs_ref[0], -jnp.inf))
+        y1 = jnp.max(jnp.where(sel, ys_ref[0], -jnp.inf))
+        z1 = jnp.max(jnp.where(sel, zs_ref[0], -jnp.inf))
         d = ((xs_ref[0] - x1) ** 2 + (ys_ref[0] - y1) ** 2 + (zs_ref[0] - z1) ** 2)
         mind = jnp.minimum(mind_ref[:], d)
         mind_ref[:] = mind
         best_val = jnp.max(mind)
         best = jnp.min(jnp.where(mind == best_val, flat_iota, n))
-        out_ref[0, j] = best
+        idx_ref[:] = jnp.where(out_slot == j, best, idx_ref[:])
         return best
 
     lax.fori_loop(1, npoint, body, 0)
+    out_ref[0] = idx_ref[:]
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -63,6 +77,7 @@ def furthest_point_sample_pallas(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
     B, N, _ = xyz.shape
     assert N % _LANE == 0, f'FPS kernel needs N % {_LANE} == 0, got {N}'
     rows = N // _LANE
+    P = max(_LANE, ((npoint + _SUB - 1) // _SUB + _LANE - 1) // _LANE * _LANE)
     xyz = lax.stop_gradient(xyz).astype(jnp.float32)
     planes = xyz.transpose(2, 0, 1).reshape(3, B, rows, _LANE)
     xs, ys, zs = planes[0], planes[1], planes[2]
@@ -70,11 +85,14 @@ def furthest_point_sample_pallas(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
     kernel = functools.partial(_fps_kernel, npoint=npoint, n=N)
     coord_spec = pl.BlockSpec((1, rows, _LANE), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
 
-    return pl.pallas_call(
+    staged = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[coord_spec, coord_spec, coord_spec],
-        out_specs=pl.BlockSpec((1, npoint), lambda b: (b, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, npoint), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((rows, _LANE), jnp.float32)],
+        out_specs=pl.BlockSpec((1, _SUB, P), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, _SUB, P), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((rows, _LANE), jnp.float32),
+                        pltpu.VMEM((_SUB, P), jnp.int32)],
     )(xs, ys, zs)
+    # invert the (j % 8, j // 8) staging layout
+    return staged.transpose(0, 2, 1).reshape(B, P * _SUB)[:, :npoint]

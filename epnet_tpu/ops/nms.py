@@ -62,13 +62,16 @@ def nms_bev(
     thresh: float,
     max_keep: int,
     rotated: bool = False,
+    num_valid=None,
 ):
     """NMS over (N, 5) BEV boxes.
 
     Boxes are sorted by score internally (descending, like
     ``iou3d_utils.nms_gpu`` :56-70). Returns ``(idx, count)``: (max_keep,)
     int32 indices into the *input* order, valid for the first ``count``
-    entries and padded with 0.
+    entries and padded with 0. ``num_valid`` (optional scalar) restricts the
+    result to the highest-scoring ``num_valid`` inputs — used by callers that
+    pad candidate sets with -inf-score dummies.
     """
     N = boxes_bev.shape[0]
     order = jnp.argsort(-scores)
@@ -81,6 +84,8 @@ def nms_bev(
     over = iou > thresh
 
     kept = greedy_suppress(over)
+    if num_valid is not None:
+        kept = kept & (jnp.arange(N) < num_valid)
     count = jnp.sum(kept).astype(jnp.int32)
 
     # first max_keep kept ranks, in score order
