@@ -1,0 +1,64 @@
+"""End-to-end throughput benchmark on the real TPU chip.
+
+Metric: KITTI val scans/sec/chip through the FULL inference path (two-stream
+RPN backbone + proposal NMS + RoI pooling + RCNN refinement) at real shapes
+(16384 points, 384x1280 image, 9000->100 proposals).
+
+Baseline: the reference publishes no speed numbers (BASELINE.md). We anchor
+``vs_baseline`` to an estimated 20 scans/sec for the torch/CUDA reference on
+an A100 (PointRCNN-class detectors run ~10 fps on consumer GPUs of the
+publication era; A100 roughly doubles that). The north-star is >=5x that.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+A100_BASELINE_SCANS_PER_SEC = 20.0
+BATCH = 4
+WARMUP = 2
+ITERS = 10
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import _full_batch, _full_config
+    from epnet_tpu.models.epnet import EPNet
+
+    cfg = _full_config()
+    batch = _full_batch(cfg, batch_size=BATCH)
+    model = EPNet(cfg, mode='TEST')
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0), 'sampling': jax.random.PRNGKey(1),
+         'dropout': jax.random.PRNGKey(2)},
+        batch, train=False)
+
+    @jax.jit
+    def fwd(variables, batch):
+        out = model.apply(variables, batch, train=False)
+        return out['rois'], out['roi_scores_raw'], out['rcnn_cls'], out['rcnn_reg']
+
+    device_batch = jax.device_put(batch)
+    for _ in range(WARMUP):
+        res = fwd(variables, device_batch)
+        jax.block_until_ready(res)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        res = fwd(variables, device_batch)
+        jax.block_until_ready(res)
+    dt = time.perf_counter() - t0
+
+    scans_per_sec = BATCH * ITERS / dt
+    print(json.dumps({
+        'metric': 'KITTI val scans/sec/chip (RPN+RCNN e2e)',
+        'value': round(scans_per_sec, 3),
+        'unit': 'scans/sec',
+        'vs_baseline': round(scans_per_sec / A100_BASELINE_SCANS_PER_SEC, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

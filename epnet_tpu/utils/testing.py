@@ -1,0 +1,213 @@
+"""Tiny configs + synthetic scenes for fast CPU tests."""
+
+import numpy as np
+
+from epnet_tpu.config import Config
+
+
+def tiny_config(li_fusion=True, rcnn=True, **over) -> Config:
+    cfg = Config().merged({
+        'CLS_MEAN_SIZE': ((1.52563191462, 1.62856739989, 3.88311640418),),
+        'USE_IOU_BRANCH': False,
+        'LI_FUSION': {
+            'ENABLED': li_fusion,
+            'ADD_Image_Attention': True,
+            'IMG_FEATURES_CHANNEL': 32,
+            'IMG_CHANNELS': (3, 8, 16, 24, 32),
+            'POINT_CHANNELS': (24, 48, 96, 192),
+            'DeConv_Reduce': (4, 4, 4, 4),
+            'DeConv_Kernels': (2, 4, 8, 16),
+            'DeConv_Strides': (2, 4, 8, 16),
+        },
+        'RPN': {
+            'USE_INTENSITY': False,
+            'LOC_XZ_FINE': True,
+            'NUM_POINTS': 256,
+            'LOSS_CLS': 'SigmoidFocalLoss',
+            'SA_CONFIG': {
+                'NPOINTS': (64, 32, 16, 8),
+                'RADIUS': ((0.2, 1.0), (1.0, 2.0), (2.0, 4.0), (4.0, 8.0)),
+                'NSAMPLE': ((8, 16), (8, 16), (8, 16), (8, 16)),
+                'MLPS': (((8, 8, 12), (8, 8, 12)),
+                         ((16, 16, 24), (16, 16, 24)),
+                         ((24, 24, 48), (24, 24, 48)),
+                         ((48, 48, 96), (48, 48, 96))),
+            },
+            'FP_MLPS': ((32, 32), (48, 48), (64, 64), (96, 96)),
+            'CLS_FC': (32,),
+            'REG_FC': (32,),
+        },
+        'RCNN': {
+            'ENABLED': rcnn,
+            'ROI_SAMPLE_JIT': True,
+            'NUM_POINTS': 64,
+            'POOL_EXTRA_WIDTH': 0.2,
+            'ROI_PER_IMAGE': 16,
+            'HARD_BG_RATIO': 0.8,
+            'XYZ_UP_LAYER': (32, 32),
+            'SA_CONFIG': {
+                'NPOINTS': (32, 16, -1),
+                'RADIUS': (0.2, 0.4, 100),
+                'NSAMPLE': (16, 16, 16),
+                'MLPS': ((32, 32, 32), (32, 32, 48), (48, 48, 64)),
+            },
+            'CLS_FC': (32, 32),
+            'REG_FC': (32, 32),
+        },
+        'TRAIN': {
+            'RPN_PRE_NMS_TOP_N': 128,
+            'RPN_POST_NMS_TOP_N': 32,
+            'RPN_NMS_THRESH': 0.85,
+            'BBOX_AVG_BY_BIN': True,
+            'IOU_LOSS_TYPE': 'cls_mask_with_bin',
+        },
+        'TEST': {
+            'RPN_PRE_NMS_TOP_N': 128,
+            'RPN_POST_NMS_TOP_N': 16,
+            'RPN_NMS_THRESH': 0.8,
+        },
+    })
+    if over:
+        cfg = cfg.merged(over)
+    return cfg
+
+
+IMG_H, IMG_W = 32, 64
+
+
+def synthetic_batch(rng, cfg, batch=2, with_gt=True):
+    """Random scene: points in front of a 'camera', a couple of gt cars."""
+    N = cfg.RPN.NUM_POINTS
+    pts = np.stack([
+        rng.uniform(-20, 20, (batch, N)),
+        rng.uniform(-1, 2, (batch, N)),
+        rng.uniform(1, 69, (batch, N)),
+    ], axis=-1).astype(np.float32)
+    batch_dict = {
+        'pts_input': pts,
+        'img': rng.rand(batch, IMG_H, IMG_W, 3).astype(np.float32),
+        'pts_origin_xy': np.stack([
+            rng.uniform(0, 1279, (batch, N)),
+            rng.uniform(0, 383, (batch, N)),
+        ], axis=-1).astype(np.float32),
+    }
+    if with_gt:
+        G = 3
+        gt = np.stack([
+            rng.uniform(-15, 15, (batch, G)),
+            rng.uniform(0.8, 1.6, (batch, G)),
+            rng.uniform(5, 60, (batch, G)),
+            rng.uniform(1.4, 1.7, (batch, G)),
+            rng.uniform(1.5, 1.7, (batch, G)),
+            rng.uniform(3.5, 4.2, (batch, G)),
+            rng.uniform(-np.pi, np.pi, (batch, G)),
+        ], axis=-1).astype(np.float32)
+        batch_dict['gt_boxes3d'] = gt
+        # simple per-point labels: fg if inside any gt (analytic test)
+        from epnet_tpu.ops import points_in_boxes3d
+        inb = np.asarray(points_in_boxes3d(pts, gt))  # (B, G, N)
+        fg = inb.any(axis=1)
+        batch_dict['rpn_cls_label'] = fg.astype(np.int32)
+        # reg label: offsets to the nearest gt center (only used where fg)
+        gi = inb.argmax(axis=1)  # (B, N)
+        gsel = np.take_along_axis(gt, gi[..., None], axis=1)  # (B, N, 7)
+        reg = gsel.copy()
+        reg[..., 0:3] -= pts
+        batch_dict['rpn_reg_label'] = reg.astype(np.float32)
+    return batch_dict
+
+
+# ---------------------------------------------------------------------------
+# Synthetic on-disk KITTI mini-dataset (for pipeline tests without real data)
+# ---------------------------------------------------------------------------
+
+# rect = TR @ lidar: x_r = -y_l, y_r = -z_l, z_r = x_l
+_TR_VELO2CAM = np.array([[0, -1, 0, 0],
+                         [0, 0, -1, 0],
+                         [1, 0, 0, 0]], np.float32)
+
+
+def make_fake_kitti(root, n_samples=4, split='train', img_hw=(370, 1240),
+                    n_points=6000, seed=0):
+    """Create a minimal KITTI object tree with synthetic cars."""
+    import os
+
+    from PIL import Image
+
+    rng = np.random.RandomState(seed)
+    h, w = img_hw
+    obj_dir = os.path.join(root, 'KITTI', 'object', 'training')
+    for sub in ('velodyne', 'image_2', 'calib', 'label_2', 'planes'):
+        os.makedirs(os.path.join(obj_dir, sub), exist_ok=True)
+    os.makedirs(os.path.join(root, 'KITTI', 'ImageSets'), exist_ok=True)
+
+    f, cu, cv = 700.0, w / 2.0, h / 2.0
+    P2 = np.array([[f, 0, cu, 44.8], [0, f, cv, 0.1], [0, 0, 1, 0.003]], np.float32)
+
+    ids = []
+    for sid in range(n_samples):
+        ids.append('%06d' % sid)
+        # ground points + a couple of cars in the frustum
+        z = rng.uniform(4, 60, n_points)
+        x = rng.uniform(-0.7, 0.7, n_points) * z * (cu / f)
+        y = rng.uniform(1.4, 1.7, n_points)  # ground plane ~1.55 below cam
+        pts_rect = np.stack([x, y, z], 1)
+
+        boxes = []
+        for _ in range(rng.randint(1, 4)):
+            bz = rng.uniform(8, 45)
+            bx = rng.uniform(-0.4, 0.4) * bz * (cu / f)
+            ry = rng.uniform(-np.pi, np.pi)
+            hh, ww, ll = (rng.uniform(1.4, 1.7), rng.uniform(1.5, 1.7),
+                          rng.uniform(3.5, 4.3))
+            boxes.append([bx, 1.55, bz, hh, ww, ll, ry])
+            # add points on the car
+            npts = 300
+            local = np.stack([
+                rng.uniform(-ll / 2, ll / 2, npts),
+                rng.uniform(-hh, 0, npts),
+                rng.uniform(-ww / 2, ww / 2, npts)], 1)
+            c, s = np.cos(ry), np.sin(ry)
+            gx = c * local[:, 0] + s * local[:, 2] + bx
+            gz = -s * local[:, 0] + c * local[:, 2] + bz
+            gy = local[:, 1] + 1.55
+            pts_rect = np.concatenate([pts_rect, np.stack([gx, gy, gz], 1)], 0)
+
+        # rect -> lidar (inverse of the orthonormal TR)
+        R = _TR_VELO2CAM[:, :3]
+        pts_lidar = pts_rect @ R  # R^-1 = R^T; (x @ R^T)^T ... R orthonormal
+        intensity = rng.rand(len(pts_lidar), 1).astype(np.float32)
+        np.concatenate([pts_lidar.astype(np.float32), intensity], 1).tofile(
+            os.path.join(obj_dir, 'velodyne', f'{ids[-1]}.bin'))
+
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        Image.fromarray(img).save(os.path.join(obj_dir, 'image_2', f'{ids[-1]}.png'))
+
+        with open(os.path.join(obj_dir, 'calib', f'{ids[-1]}.txt'), 'w') as fo:
+            fo.write('P0: ' + ' '.join('%.6e' % v for v in P2.reshape(-1)) + '\n')
+            fo.write('P1: ' + ' '.join('%.6e' % v for v in P2.reshape(-1)) + '\n')
+            fo.write('P2: ' + ' '.join('%.6e' % v for v in P2.reshape(-1)) + '\n')
+            fo.write('P3: ' + ' '.join('%.6e' % v for v in P2.reshape(-1)) + '\n')
+            fo.write('R0_rect: ' + ' '.join('%.6e' % v for v in np.eye(3).reshape(-1)) + '\n')
+            fo.write('Tr_velo_to_cam: ' + ' '.join('%.6e' % v for v in _TR_VELO2CAM.reshape(-1)) + '\n')
+            fo.write('Tr_imu_to_velo: ' + ' '.join('%.6e' % v for v in _TR_VELO2CAM.reshape(-1)) + '\n')
+
+        with open(os.path.join(obj_dir, 'label_2', f'{ids[-1]}.txt'), 'w') as fo:
+            for bx, by, bz, hh, ww, ll, ry in boxes:
+                beta = np.arctan2(bz, bx)
+                alpha = -np.sign(beta) * np.pi / 2 + beta + ry
+                u = f * bx / bz + cu
+                v = f * by / bz + cv
+                x1, y1 = max(u - 60, 0), max(v - 50, 0)
+                x2, y2 = min(u + 60, w - 1), min(v + 5, h - 1)
+                fo.write(f'Car 0.00 0 {alpha:.2f} {x1:.2f} {y1:.2f} {x2:.2f} {y2:.2f} '
+                         f'{hh:.2f} {ww:.2f} {ll:.2f} {bx:.2f} {by:.2f} {bz:.2f} {ry:.2f}\n')
+
+        with open(os.path.join(obj_dir, 'planes', f'{ids[-1]}.txt'), 'w') as fo:
+            fo.write('# Plane\nWidth 4\nHeight 1\n0 -1 0 1.55\n')
+
+    with open(os.path.join(root, 'KITTI', 'ImageSets', split + '.txt'), 'w') as fo:
+        fo.write('\n'.join(ids) + '\n')
+    with open(os.path.join(root, 'KITTI', 'ImageSets', 'val.txt'), 'w') as fo:
+        fo.write('\n'.join(ids) + '\n')
+    return root
