@@ -322,15 +322,25 @@ def _merge(node, updates: dict):
 
 
 def load_config(yaml_file: Optional[str] = None, overrides=None) -> Config:
-    """defaults <- YAML file <- dotted CLI overrides."""
+    """defaults <- (optional ``_BASE_`` chain) <- YAML file <- CLI overrides."""
+    import os
+
     cfg = Config()
-    if yaml_file is not None:
+
+    def apply(path):
+        nonlocal cfg
         import yaml
 
-        with open(yaml_file) as f:
-            data = yaml.safe_load(f)
+        with open(path) as f:
+            data = yaml.safe_load(f) or {}
+        base = data.pop('_BASE_', None)
+        if base:
+            apply(os.path.join(os.path.dirname(path), base))
         if data:
             cfg = cfg.merged(data)
+
+    if yaml_file is not None:
+        apply(yaml_file)
     if overrides:
         cfg = cfg.with_overrides(overrides)
     return cfg

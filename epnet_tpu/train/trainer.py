@@ -48,7 +48,7 @@ def create_train_state(cfg: Config, rng, sample_batch, total_steps: int,
     model = EPNet(cfg, mode='TRAIN')
     k1, k2, k3 = jax.random.split(rng, 3)
     variables = model.init({'params': k1, 'sampling': k2, 'dropout': k3},
-                           sample_batch, train=True)
+                           device_batch(sample_batch), train=True)
     tx = make_optimizer(cfg, total_steps, steps_per_epoch)
     params = variables['params']
     state = TrainState(
@@ -58,6 +58,17 @@ def create_train_state(cfg: Config, rng, sample_batch, total_steps: int,
         opt_state=tx.init(params),
     )
     return state, model, tx
+
+
+def device_batch(batch: Dict) -> Dict:
+    """Keep only numeric array fields (drops sample ids, aug bookkeeping)."""
+    out = {}
+    for k, v in batch.items():
+        if k == 'sample_id':
+            continue
+        if isinstance(v, (np.ndarray, jnp.ndarray)) and v.dtype != object:
+            out[k] = v
+    return out
 
 
 def make_train_step(cfg: Config, model: EPNet, tx):
@@ -189,6 +200,7 @@ class Trainer:
             t0 = time.time()
             n_it = 0
             for batch in loader:
+                batch = device_batch(batch)
                 if self.mesh is not None:
                     from ..parallel.mesh import shard_batch
                     batch = shard_batch(self.mesh, batch)

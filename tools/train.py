@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Training CLI.
+
+Mirrors ``/root/reference/tools/train_rcnn.py`` (argparse :23-53, mode
+matrix :163-181, logger/config dump :187-206, optimizer :95-123, trainer
+launch :251-276): same train modes (rpn / rcnn_online / rcnn_offline /
+rcnn), same config override mechanics (--cfg_file + --set), resume and
+rpn warm-start, on a jitted data-parallel TPU train step.
+"""
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description='EPNet-TPU training')
+    p.add_argument('--cfg_file', type=str,
+                   default='cfgs/LI_Fusion_with_attention_use_ce_loss.yaml')
+    p.add_argument('--train_mode', type=str, default='rcnn_online',
+                   choices=['rpn', 'rcnn', 'rcnn_online', 'rcnn_offline'])
+    p.add_argument('--batch_size', type=int, default=4)
+    p.add_argument('--epochs', type=int, default=50)
+    p.add_argument('--workers', type=int, default=8)
+    p.add_argument('--ckpt_save_interval', type=int, default=5)
+    p.add_argument('--output_dir', type=str, default=None)
+    p.add_argument('--data_root', type=str, default='data')
+    p.add_argument('--ckpt', type=str, default=None, help='resume checkpoint')
+    p.add_argument('--rpn_ckpt', type=str, default=None,
+                   help='warm-start rpn weights (partial restore)')
+    p.add_argument('--gt_database', type=str, default=None)
+    p.add_argument('--rcnn_training_roi_dir', type=str, default=None)
+    p.add_argument('--rcnn_training_feature_dir', type=str, default=None)
+    p.add_argument('--train_with_eval', action='store_true')
+    p.add_argument('--n_devices', type=int, default=None)
+    p.add_argument('--max_gt', type=int, default=50)
+    p.add_argument('--set', dest='set_cfgs', default=None, nargs=argparse.REMAINDER)
+    return p.parse_args()
+
+
+def apply_train_mode(cfg, mode):
+    """Mode -> RPN/RCNN enabled/fixed flags (train_rcnn.py:163-181)."""
+    if mode == 'rpn':
+        return cfg.merged({'RPN': {'ENABLED': True, 'FIXED': False},
+                           'RCNN': {'ENABLED': False}})
+    if mode == 'rcnn':
+        return cfg.merged({'RPN': {'ENABLED': True, 'FIXED': True},
+                           'RCNN': {'ENABLED': True}})
+    if mode == 'rcnn_online':
+        return cfg.merged({'RPN': {'ENABLED': True, 'FIXED': False},
+                           'RCNN': {'ENABLED': True}})
+    if mode == 'rcnn_offline':
+        return cfg.merged({'RPN': {'ENABLED': False},
+                           'RCNN': {'ENABLED': True}})
+    raise ValueError(mode)
+
+
+def make_logger(log_file):
+    logger = logging.getLogger('epnet_tpu')
+    logger.setLevel(logging.INFO)
+    fmt = logging.Formatter('%(asctime)s  %(levelname)5s  %(message)s')
+    for h in (logging.StreamHandler(), logging.FileHandler(log_file)):
+        h.setFormatter(fmt)
+        logger.addHandler(h)
+    return logger
+
+
+def main():
+    args = parse_args()
+    import jax
+    import numpy as np
+
+    from epnet_tpu.config import load_config, save_config
+    from epnet_tpu.data import DataLoader, KittiRCNNDataset
+    from epnet_tpu.parallel.mesh import make_mesh, replicate_state
+    from epnet_tpu.train.trainer import (Trainer, create_train_state,
+                                         load_checkpoint, restore_partial)
+
+    overrides = []
+    if args.set_cfgs:
+        assert len(args.set_cfgs) % 2 == 0
+        overrides = list(zip(args.set_cfgs[0::2], args.set_cfgs[1::2]))
+    cfg = load_config(args.cfg_file, overrides)
+    cfg = apply_train_mode(cfg, args.train_mode)
+
+    tag = os.path.splitext(os.path.basename(args.cfg_file))[0]
+    out_dir = args.output_dir or os.path.join('output', args.train_mode, tag)
+    ckpt_dir = os.path.join(out_dir, 'ckpt')
+    os.makedirs(ckpt_dir, exist_ok=True)
+    logger = make_logger(os.path.join(out_dir, 'train.log'))
+    logger.info('devices: %s', jax.devices())
+    save_config(cfg, logger=logger)
+
+    dataset = KittiRCNNDataset(
+        args.data_root, cfg, npoints=cfg.RPN.NUM_POINTS, split=cfg.TRAIN.SPLIT,
+        classes=cfg.CLASSES, mode='TRAIN', logger=logger,
+        gt_database_dir=args.gt_database, max_gt=args.max_gt,
+        rcnn_training_roi_dir=args.rcnn_training_roi_dir,
+        rcnn_training_feature_dir=args.rcnn_training_feature_dir)
+    loader = DataLoader(dataset, args.batch_size, shuffle=True,
+                        num_workers=args.workers, drop_last=True)
+
+    steps_per_epoch = len(loader)
+    total_steps = steps_per_epoch * args.epochs
+    sample_batch = dataset.collate_batch([dataset[i] for i in range(args.batch_size)])
+    state, model, tx = create_train_state(
+        cfg, jax.random.PRNGKey(42), sample_batch, total_steps, steps_per_epoch)
+
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(state.params))
+    logger.info('model parameters: %.2fM', n_params / 1e6)
+
+    start_epoch = 0
+    if args.ckpt:
+        state, start_epoch = load_checkpoint(args.ckpt, state)
+        logger.info('resumed from %s at epoch %d', args.ckpt, start_epoch)
+    elif args.rpn_ckpt:
+        state = restore_partial(args.rpn_ckpt, state)
+        logger.info('warm-started rpn weights from %s', args.rpn_ckpt)
+
+    mesh = None
+    if args.n_devices is None and len(jax.devices()) > 1 or \
+            (args.n_devices or 0) > 1:
+        mesh = make_mesh(args.n_devices)
+        state = replicate_state(mesh, state)
+        logger.info('data-parallel mesh over %d devices', mesh.size)
+
+    trainer = Trainer(cfg, model, tx, state, ckpt_dir=ckpt_dir, mesh=mesh,
+                      ckpt_save_interval=args.ckpt_save_interval, logger=logger)
+    trainer.train(start_epoch, args.epochs, loader)
+    logger.info('training finished')
+
+
+if __name__ == '__main__':
+    main()
