@@ -42,9 +42,13 @@ class DataLoader:
         self._epoch = 0
         self._pool = None
         if num_workers > 0:
+            import multiprocessing
+
+            # spawn: fork is unsafe once JAX threads exist in the parent
             self._pool = ProcessPoolExecutor(
                 max_workers=num_workers, initializer=_init_worker,
-                initargs=(dataset,))
+                initargs=(dataset,),
+                mp_context=multiprocessing.get_context('spawn'))
 
     def __len__(self):
         n = len(self.dataset) // self.batch_size
