@@ -1,0 +1,73 @@
+"""Config system tests: strict merge, dotted overrides, hashability,
+compatibility with the reference's own experiment YAML."""
+
+import os
+
+import pytest
+
+from epnet_tpu.config import Config, load_config
+
+REF_YAML = '/root/reference/tools/cfgs/LI_Fusion_with_attention_use_ce_loss.yaml'
+OUR_YAML = os.path.join(os.path.dirname(__file__), '..', 'cfgs',
+                        'LI_Fusion_with_attention_use_ce_loss.yaml')
+
+
+def test_defaults_match_reference_values():
+    cfg = Config()
+    assert cfg.RPN.NUM_POINTS == 16384
+    assert cfg.RPN.SA_CONFIG.NPOINTS == (4096, 1024, 256, 64)
+    assert cfg.RCNN.ROI_PER_IMAGE == 64
+    assert cfg.TRAIN.CE_WEIGHT == 5.0
+    assert cfg.RPN.reg_channel == 12 * 2 + 12 * 2 + 3 + 1  # LOC_XZ_FINE False
+    assert cfg.RCNN.reg_channel == 6 * 4 + 9 * 2 + 3 + 1
+
+
+def test_strict_merge_rejects_unknown_keys():
+    with pytest.raises(KeyError):
+        Config().merged({'NOT_A_KEY': 1})
+    with pytest.raises(KeyError):
+        Config().merged({'RPN': {'BOGUS': 2}})
+
+
+def test_dotted_overrides():
+    cfg = Config().with_overrides([('RPN.LOC_SCOPE', '4.0'),
+                                   ('RCNN.ENABLED', 'True'),
+                                   ('CLASSES', 'Pedestrian')])
+    assert cfg.RPN.LOC_SCOPE == 4.0
+    assert cfg.RCNN.ENABLED is True
+    assert cfg.CLASSES == 'Pedestrian'
+
+
+def test_config_is_hashable_and_jit_static():
+    cfg = Config()
+    assert hash(cfg) == hash(Config())
+    cfg2 = cfg.merged({'RPN': {'LOC_SCOPE': 5.0}})
+    assert hash(cfg2) != hash(cfg) or cfg2 != cfg
+
+
+def test_our_yaml_loads():
+    cfg = load_config(OUR_YAML)
+    assert cfg.LI_FUSION.ENABLED and cfg.LI_FUSION.ADD_Image_Attention
+    assert cfg.RPN.LOSS_CLS == 'SigmoidFocalLoss'
+    assert cfg.RPN.LOC_XZ_FINE is True
+    assert cfg.TRAIN.OPTIMIZER == 'adam_onecycle'
+    assert cfg.TEST.RPN_POST_NMS_TOP_N == 100
+    assert cfg.RCNN.HARD_BG_RATIO == 0.8
+
+
+@pytest.mark.skipif(not os.path.exists(REF_YAML), reason='reference not mounted')
+def test_reference_yaml_loads_unchanged():
+    """The reference's own experiment file must parse against our schema."""
+    cfg = load_config(REF_YAML)
+    ours = load_config(OUR_YAML)
+    assert cfg.RPN.SA_CONFIG.MLPS == ours.RPN.SA_CONFIG.MLPS
+    assert cfg.TRAIN.CE_WEIGHT == ours.TRAIN.CE_WEIGHT
+    assert cfg.RCNN.CLS_FC == ours.RCNN.CLS_FC
+    assert cfg.CLS_MEAN_SIZE == ours.CLS_MEAN_SIZE
+
+
+def test_base_include():
+    cfg = load_config(os.path.join(os.path.dirname(OUR_YAML),
+                                   'LI_Fusion_with_attention_use_ce_loss_iou_branch.yaml'))
+    assert cfg.USE_IOU_BRANCH is True
+    assert cfg.LI_FUSION.ENABLED is True  # inherited from _BASE_

@@ -127,8 +127,11 @@ def main():
         state = replicate_state(mesh, state)
         logger.info('data-parallel mesh over %d devices', mesh.size)
 
+    from epnet_tpu.utils.metrics import SummaryWriter
+    tb = SummaryWriter(os.path.join(out_dir, 'tensorboard'))
     trainer = Trainer(cfg, model, tx, state, ckpt_dir=ckpt_dir, mesh=mesh,
-                      ckpt_save_interval=args.ckpt_save_interval, logger=logger)
+                      ckpt_save_interval=args.ckpt_save_interval, logger=logger,
+                      tb_log=tb)
     trainer.train(start_epoch, args.epochs, loader)
     logger.info('training finished')
 
