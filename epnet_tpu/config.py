@@ -248,6 +248,11 @@ class Config:
     TRAIN: TrainConfig = field(default_factory=TrainConfig)
     TEST: TestConfig = field(default_factory=TestConfig)
 
+    @property
+    def num_classes(self) -> int:
+        """Including background (dataset classes tuple length)."""
+        return 3 if self.CLASSES == 'People' else 2
+
     # ------------------------------------------------------------------
     def get(self, mode: str):
         """cfg['TRAIN'] / cfg['TEST'] style lookup used by the proposal layer."""

@@ -314,13 +314,15 @@ class KittiRCNNDataset(KittiDataset):
 
     def __getitem__(self, index):
         cfg = self.cfg
-        if cfg.LI_FUSION.ENABLED:
+        if cfg.LI_FUSION.ENABLED and cfg.RPN.ENABLED:
             return self.get_rpn_with_li_fusion(index)
         if cfg.RPN.ENABLED:
             return self.get_rpn_sample(index)
         if cfg.RCNN.ENABLED:
             if self.mode == 'TRAIN':
-                return self.get_rcnn_sample_jit(index)
+                if cfg.RCNN.ROI_SAMPLE_JIT:
+                    return self.get_rcnn_sample_jit(index)
+                return self.get_rcnn_training_sample_batch(index)
             return self.get_proposal_from_file(index)
         raise NotImplementedError
 
@@ -488,6 +490,14 @@ class KittiRCNNDataset(KittiDataset):
                 'gt_boxes3d': gt_boxes3d,
                 'pts_depth': np.linalg.norm(rpn_xyz, ord=2, axis=1)}
 
+    def get_rcnn_training_sample_batch(self, index):
+        """Offline two-phase RCNN training sample (:1062-1209): roi fg/bg
+        sampling + noise aug + pooling done on host from dumped features."""
+        from .rcnn_offline import build_rcnn_training_sample
+
+        sample_id = int(self.sample_id_list[index])
+        return build_rcnn_training_sample(self, sample_id, self.cfg)
+
     def get_proposal_from_file(self, index):
         """Offline-RCNN eval path (:976-1060): rois from txt + dumped rpn
         features, pooled on host with the C++ roipool."""
@@ -545,6 +555,11 @@ class KittiRCNNDataset(KittiDataset):
         for key in batch[0].keys():
             if key in ('gt_boxes3d', 'roi_boxes3d') and \
                     isinstance(batch[0][key], np.ndarray) and batch[0][key].ndim == 2:
+                shapes = {b[key].shape for b in batch}
+                if key == 'roi_boxes3d' and len(shapes) == 1:
+                    # fixed-size roi batches (offline rcnn) stack as-is
+                    out[key] = np.stack([b[key] for b in batch], axis=0)
+                    continue
                 arr = np.zeros((bs, self.max_gt, 7), np.float32)
                 for i, b in enumerate(batch):
                     n = min(len(b[key]), self.max_gt)

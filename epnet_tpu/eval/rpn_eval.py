@@ -66,8 +66,10 @@ def evaluate_rpn(cfg: Config, variables, dataset, loader, result_dir: str,
     model = EPNet(cfg, mode='TEST')
     step = make_rpn_eval_step(cfg, model)
     feat_dir = os.path.join(result_dir, 'features')
+    roi_dir = os.path.join(result_dir, 'roi_result', 'data')
     if save_rpn_feature:
         os.makedirs(feat_dir, exist_ok=True)
+        os.makedirs(roi_dir, exist_ok=True)
 
     tot_recall = np.zeros(len(THRESH_LIST))
     tot_gt, tot_iou, n = 0, 0.0, 0
@@ -82,8 +84,16 @@ def evaluate_rpn(cfg: Config, variables, dataset, loader, result_dir: str,
         if 'seg_iou' in res:
             tot_iou += float(res['seg_iou'])
         if save_rpn_feature:
+            from .kitti_common import save_kitti_format
+
             for k, sid in enumerate(np.atleast_1d(batch['sample_id'])):
                 sid = int(sid)
+                n_roi = int(res['counts'][k])
+                save_kitti_format(roi_dir, sid, dataset.get_calib(sid),
+                                  res['rois'][k][:n_roi],
+                                  res['roi_scores'][k][:n_roi],
+                                  dataset.get_image_shape(sid),
+                                  classes=(cfg.CLASSES,))
                 np.save(os.path.join(feat_dir, '%06d.npy' % sid),
                         res['backbone_features'][k])
                 np.save(os.path.join(feat_dir, '%06d_xyz.npy' % sid),

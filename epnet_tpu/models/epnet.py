@@ -80,9 +80,21 @@ class EPNet(nn.Module):
                     pts_input, train=train, bn_momentum=bn_momentum)
                 out.update(rcnn_out)
         elif cfg.RCNN.ENABLED:
+            # offline two-phase flow: pooled samples + targets come from the
+            # data loader (point_rcnn.py:70-71, rcnn_net.py:165-173)
+            pts = batch['pts_input']
+            if pts.ndim == 4:  # (B, R, S, C) per-frame roi batches
+                pts = pts.reshape(-1, pts.shape[2], pts.shape[3])
             rcnn_out = RCNNNet(cfg, name='rcnn')(
-                batch['pts_input'], train=train, bn_momentum=bn_momentum)
+                pts, train=train, bn_momentum=bn_momentum)
             out.update(rcnn_out)
+            for k in ('cls_label', 'reg_valid_mask', 'gt_iou', 'mask_score'):
+                if k in batch:
+                    out[k] = batch[k].reshape(-1)
+            if 'gt_boxes3d_ct' in batch:
+                out['gt_of_rois'] = batch['gt_boxes3d_ct'].reshape(-1, 7)
+            if 'roi_boxes3d' in batch:
+                out['roi_boxes3d'] = batch['roi_boxes3d'].reshape(-1, 7)
 
         return out
 

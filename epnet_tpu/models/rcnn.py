@@ -52,13 +52,17 @@ class RCNNNet(nn.Module):
 
         x = l_feats[:, 0, :]  # (B*R, C) — final stage pools to one point
 
+        # binary -> single sigmoid logit; multi-class (People) -> n logits
+        # (rcnn_net.py:45)
+        cls_channel = 1 if cfg.num_classes == 2 else cfg.num_classes
         h = x
         for k, f in enumerate(rc.CLS_FC):
             h = PointwiseConv(f, bn=rc.USE_BN, name=f'cls_fc{k}')(
                 h, train=train, bn_momentum=bn_momentum)
             if k == 0 and rc.DP_RATIO >= 0:
                 h = nn.Dropout(rc.DP_RATIO, deterministic=not train)(h)
-        rcnn_cls = nn.Dense(1, kernel_init=kaiming_normal(), name='cls_out')(h)
+        rcnn_cls = nn.Dense(cls_channel, kernel_init=kaiming_normal(),
+                            name='cls_out')(h)
 
         h = x
         for k, f in enumerate(rc.REG_FC):

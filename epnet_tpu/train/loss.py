@@ -96,6 +96,16 @@ def rcnn_loss(cfg: Config, out):
         valid = (cls_label >= 0).astype(jnp.float32)
         per = binary_cross_entropy(jax.nn.sigmoid(cls_flat), jnp.clip(cls_label, 0.0, 1.0))
         loss_cls = jnp.sum(per * valid) / jnp.clip(jnp.sum(valid), 1.0, None)
+    elif cfg.RCNN.LOSS_CLS == 'CrossEntropy':
+        # multi-class head (People config): weighted CE with ignore -1
+        logits = rcnn_cls.reshape(rcnn_cls.shape[0], -1)
+        target = jnp.clip(cls_label, 0, None).astype(jnp.int32)
+        valid = (cls_label >= 0).astype(jnp.float32)
+        weights = jnp.asarray(cfg.RCNN.CLS_WEIGHT, jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        per = -jnp.take_along_axis(logp, target[:, None], axis=-1)[:, 0]
+        per = per * weights[target]
+        loss_cls = jnp.sum(per * valid) / jnp.clip(jnp.sum(valid), 1.0, None)
     else:
         raise NotImplementedError(cfg.RCNN.LOSS_CLS)
 

@@ -47,8 +47,10 @@ def create_train_state(cfg: Config, rng, sample_batch, total_steps: int,
     """Initialize model variables + optimizer. Returns (state, model, tx)."""
     model = EPNet(cfg, mode='TRAIN')
     k1, k2, k3 = jax.random.split(rng, 3)
-    variables = model.init({'params': k1, 'sampling': k2, 'dropout': k3},
-                           device_batch(sample_batch), train=True)
+    # jit the init: eager init would compile every op separately
+    init_fn = jax.jit(lambda rngs, b: model.init(rngs, b, train=True))
+    variables = init_fn({'params': k1, 'sampling': k2, 'dropout': k3},
+                        device_batch(sample_batch))
     tx = make_optimizer(cfg, total_steps, steps_per_epoch)
     params = variables['params']
     state = TrainState(
@@ -221,6 +223,6 @@ class Trainer:
             if (epoch % self.ckpt_save_interval == 0 or epoch == n_epochs - 1):
                 path = save_checkpoint(self.ckpt_dir, self.state, epoch)
                 self.logger.info('saved checkpoint %s', path)
-            if eval_fn is not None and eval_loader is not None:
-                eval_fn(self.state, eval_loader, epoch)
+                if eval_fn is not None and eval_loader is not None:
+                    eval_fn(self.state, eval_loader, epoch)
         return self.state

@@ -132,7 +132,28 @@ def main():
     trainer = Trainer(cfg, model, tx, state, ckpt_dir=ckpt_dir, mesh=mesh,
                       ckpt_save_interval=args.ckpt_save_interval, logger=logger,
                       tb_log=tb)
-    trainer.train(start_epoch, args.epochs, loader)
+
+    eval_fn = eval_loader = None
+    if args.train_with_eval:
+        from epnet_tpu.eval.detect import evaluate_joint
+
+        val_ds = KittiRCNNDataset(args.data_root, cfg, npoints=cfg.RPN.NUM_POINTS,
+                                  split=cfg.TRAIN.VAL_SPLIT, classes=cfg.CLASSES,
+                                  mode='EVAL', logger=logger, max_gt=args.max_gt)
+        eval_loader = DataLoader(val_ds, args.batch_size, shuffle=False,
+                                 num_workers=args.workers, drop_last=False)
+
+        def eval_fn(state, loader_, epoch):
+            variables = {'params': state.params, 'batch_stats': state.batch_stats}
+            ret = evaluate_joint(cfg, variables, val_ds, loader_,
+                                 os.path.join(out_dir, f'eval_epoch_{epoch}'),
+                                 logger=logger, run_ap=True)
+            for k, v in ret.items():
+                if isinstance(v, (int, float)):
+                    tb.scalar(f'val/{k}', v, epoch)
+
+    trainer.train(start_epoch, args.epochs, loader,
+                  eval_loader=eval_loader, eval_fn=eval_fn)
     logger.info('training finished')
 
 
