@@ -55,9 +55,12 @@ def sigmoid_focal_loss(
 
 def binary_cross_entropy(probs: jnp.ndarray, targets: jnp.ndarray, weight=None) -> jnp.ndarray:
     """Elementwise BCE on probabilities (torch F.binary_cross_entropy, reduction='none').
-    Probabilities are clipped like torch (log clamped at -100)."""
-    logp = jnp.clip(jnp.log(probs), -100.0, None)
-    lognp = jnp.clip(jnp.log(1.0 - probs), -100.0, None)
+    Log terms are floored like torch's -100 clamp; the floor is applied to the
+    probability BEFORE the log so gradients stay finite (clip(log(0)) would
+    backprop 0 * inf = NaN)."""
+    tiny = 1e-12  # 1/tiny must stay finite in f32 so the clamped grad is 0, not NaN
+    logp = jnp.log(jnp.clip(probs, tiny, None))
+    lognp = jnp.log(jnp.clip(1.0 - probs, tiny, None))
     out = -(targets * logp + (1 - targets) * lognp)
     if weight is not None:
         out = out * weight

@@ -48,7 +48,9 @@ class BatchNorm(nn.Module):
         if train:
             red = tuple(range(x.ndim - 1))
             mean = jnp.mean(x, axis=red)
-            var = jnp.mean(jnp.square(x), axis=red) - jnp.square(mean)
+            # two-pass variance: the E[x^2]-E[x]^2 form cancels catastrophically
+            # for large activations and can go negative past eps -> rsqrt(NaN)
+            var = jnp.mean(jnp.square(x - mean), axis=red)
             n = 1
             for d in red:
                 n *= x.shape[d]

@@ -17,6 +17,7 @@ from ..losses import (
     binary_cross_entropy,
     dice_loss,
     get_reg_loss,
+    sigmoid_cross_entropy_with_logits,
     sigmoid_focal_loss,
 )
 
@@ -44,8 +45,10 @@ def rpn_loss(cfg: Config, rpn_cls, rpn_reg, cls_label, reg_label):
         tb['rpn_loss_cls_neg'] = jnp.sum(per * neg)
         loss_cls = jnp.sum(per)
     elif cfg.RPN.LOSS_CLS == 'BinaryCrossEntropy':
+        # the reference computes BCE(sigmoid(x), t); the logits form is
+        # identical and NaN-safe when sigmoid saturates
         w = jnp.where(fg_mask, cfg.RPN.FG_WEIGHT, 1.0)
-        per = binary_cross_entropy(jax.nn.sigmoid(cls_flat), fg_mask.astype(jnp.float32), w)
+        per = sigmoid_cross_entropy_with_logits(cls_flat, fg_mask.astype(jnp.float32)) * w
         valid = (label_flat >= 0).astype(jnp.float32)
         loss_cls = jnp.sum(per * valid) / jnp.clip(jnp.sum(valid), 1.0, None)
     else:
@@ -94,7 +97,7 @@ def rcnn_loss(cfg: Config, out):
         loss_cls = jnp.sum(per)
     elif cfg.RCNN.LOSS_CLS == 'BinaryCrossEntropy':
         valid = (cls_label >= 0).astype(jnp.float32)
-        per = binary_cross_entropy(jax.nn.sigmoid(cls_flat), jnp.clip(cls_label, 0.0, 1.0))
+        per = sigmoid_cross_entropy_with_logits(cls_flat, jnp.clip(cls_label, 0.0, 1.0))
         loss_cls = jnp.sum(per * valid) / jnp.clip(jnp.sum(valid), 1.0, None)
     elif cfg.RCNN.LOSS_CLS == 'CrossEntropy':
         # multi-class head (People config): weighted CE with ignore -1
