@@ -37,10 +37,11 @@ def main():
     cfg = _full_config()
     batch = _full_batch(cfg, batch_size=BATCH)
     model = EPNet(cfg, mode='TEST')
-    variables = model.init(
+    init = jax.jit(lambda r, b: model.init(r, b, train=False))
+    variables = init(
         {'params': jax.random.PRNGKey(0), 'sampling': jax.random.PRNGKey(1),
          'dropout': jax.random.PRNGKey(2)},
-        batch, train=False)
+        batch)
 
     @jax.jit
     def fwd(variables, batch):
