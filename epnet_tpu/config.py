@@ -242,6 +242,9 @@ class Config:
     PC_AREA_SCOPE: Tuple[Tuple[float, float], ...] = ((-40, 40), (-1, 3), (0, 70.4))
     CLS_MEAN_SIZE: Tuple[Tuple[float, ...], ...] = ((1.52, 1.63, 3.88),)
     USE_IOU_BRANCH: bool = False
+    # TPU extension (not in the reference): run conv/MLP matmuls in bfloat16
+    # (params + losses + geometry stay f32). ~2x MXU throughput.
+    MIXED_PRECISION: bool = False
     LI_FUSION: LIFusionConfig = field(default_factory=LIFusionConfig)
     RPN: RPNConfig = field(default_factory=RPNConfig)
     RCNN: RCNNConfig = field(default_factory=RCNNConfig)

@@ -34,6 +34,7 @@ class PointBackbone(nn.Module):
         cfg = self.cfg
         sa = cfg.RPN.SA_CONFIG
         li = cfg.LI_FUSION
+        dt = jnp.bfloat16 if cfg.MIXED_PRECISION else None
 
         xyz = pts_input[..., 0:3]
         feats = pts_input[..., 3:] if pts_input.shape[-1] > 3 else None
@@ -52,19 +53,19 @@ class PointBackbone(nn.Module):
         for i in range(len(sa.NPOINTS)):
             li_xyz, li_feats_i, fps_idx = SAModuleMSG(
                 npoint=sa.NPOINTS[i], radii=sa.RADIUS[i], nsamples=sa.NSAMPLE[i],
-                mlps=sa.MLPS[i], use_xyz=True, bn=cfg.RPN.USE_BN,
+                mlps=sa.MLPS[i], use_xyz=True, bn=cfg.RPN.USE_BN, dtype=dt,
                 name=f'sa{i}')(l_xyz[i], l_feats[i], train=train, bn_momentum=bn_momentum)
 
             if li.ENABLED:
                 li_xy = gather_points(l_xy[i], fps_idx)
-                img_i = ImageBlock(li.IMG_CHANNELS[i + 1], name=f'img_block{i}')(
+                img_i = ImageBlock(li.IMG_CHANNELS[i + 1], dtype=dt, name=f'img_block{i}')(
                     imgs[i], train=train, bn_momentum=bn_momentum)
                 img_gathered = feature_gather(img_i, li_xy)
                 if li.ADD_Image_Attention:
-                    li_feats_i = AttenFusionConv(li.POINT_CHANNELS[i], name=f'fusion{i}')(
+                    li_feats_i = AttenFusionConv(li.POINT_CHANNELS[i], dtype=dt, name=f'fusion{i}')(
                         li_feats_i, img_gathered, train=train, bn_momentum=bn_momentum)
                 else:
-                    li_feats_i = FusionConv(li.POINT_CHANNELS[i], name=f'fusion{i}')(
+                    li_feats_i = FusionConv(li.POINT_CHANNELS[i], dtype=dt, name=f'fusion{i}')(
                         li_feats_i, img_gathered, train=train, bn_momentum=bn_momentum)
                 l_xy.append(li_xy)
                 imgs.append(img_i)
@@ -74,7 +75,7 @@ class PointBackbone(nn.Module):
 
         # FP decoder with skip connections (pointnet2_msg.py:232-235)
         n_fp = len(cfg.RPN.FP_MLPS)
-        fp_mods = [FPModule(mlp=cfg.RPN.FP_MLPS[k], bn=cfg.RPN.USE_BN, name=f'fp{k}')
+        fp_mods = [FPModule(mlp=cfg.RPN.FP_MLPS[k], bn=cfg.RPN.USE_BN, dtype=dt, name=f'fp{k}')
                    for k in range(n_fp)]
         for i in range(-1, -(n_fp + 1), -1):
             l_feats[i - 1] = fp_mods[i](
@@ -83,20 +84,23 @@ class PointBackbone(nn.Module):
 
         if li.ENABLED:
             # deconv pyramid back to full image resolution (pointnet2_msg.py:239-246)
-            ups = [DeConvUp(li.DeConv_Reduce[i], li.DeConv_Kernels[i], name=f'deconv{i}')(imgs[i + 1])
+            ups = [DeConvUp(li.DeConv_Reduce[i], li.DeConv_Kernels[i], dtype=dt, name=f'deconv{i}')(imgs[i + 1])
                    for i in range(len(li.IMG_CHANNELS) - 1)]
             de_concat = jnp.concatenate(ups, axis=-1)
             img_fusion = nn.Dense(li.IMG_FEATURES_CHANNEL // 4, use_bias=False,
-                                  kernel_init=kaiming_normal(), name='image_fusion_conv')(de_concat)
+                                  kernel_init=kaiming_normal(), dtype=dt,
+                                  name='image_fusion_conv')(de_concat)
             img_fusion = BatchNorm(name='image_fusion_bn')(img_fusion, train=train,
                                                            momentum=bn_momentum)
             img_fusion = nn.relu(img_fusion)
             img_pt = feature_gather(img_fusion, xy_norm)
             if li.ADD_Image_Attention:
-                l_feats[0] = AttenFusionConv(li.IMG_FEATURES_CHANNEL, name='final_fusion')(
+                l_feats[0] = AttenFusionConv(li.IMG_FEATURES_CHANNEL, dtype=dt,
+                                             name='final_fusion')(
                     l_feats[0], img_pt, train=train, bn_momentum=bn_momentum)
             else:
-                l_feats[0] = FusionConv(li.IMG_FEATURES_CHANNEL, name='final_fusion')(
+                l_feats[0] = FusionConv(li.IMG_FEATURES_CHANNEL, dtype=dt,
+                                        name='final_fusion')(
                     l_feats[0], img_pt, train=train, bn_momentum=bn_momentum)
 
-        return l_xyz[0], l_feats[0]
+        return l_xyz[0], l_feats[0].astype(jnp.float32)

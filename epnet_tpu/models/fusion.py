@@ -23,12 +23,13 @@ class ImageBlock(nn.Module):
     (pointnet2_msg.py:17-33)."""
 
     features: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, bn_momentum=0.1):
-        x = Conv2dBlock(self.features, kernel=3, stride=1, bn=True, activation=True)(
-            x, train=train, bn_momentum=bn_momentum)
-        x = Conv2dBlock(self.features, kernel=3, stride=2)(x, train=train)
+        x = Conv2dBlock(self.features, kernel=3, stride=1, bn=True, activation=True,
+                        dtype=self.dtype)(x, train=train, bn_momentum=bn_momentum)
+        x = Conv2dBlock(self.features, kernel=3, stride=2, dtype=self.dtype)(x, train=train)
         return x
 
 
@@ -43,15 +44,18 @@ class IALayer(nn.Module):
     (IA_Layer, pointnet2_msg.py:52-81)."""
 
     point_channels: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, img_feats, point_feats, train: bool = False, bn_momentum=0.1):
         pc = self.point_channels
         rc = pc // 4
-        ri = nn.Dense(rc, kernel_init=kaiming_normal())(img_feats)
-        rp = nn.Dense(rc, kernel_init=kaiming_normal())(point_feats)
-        att = jax.nn.sigmoid(nn.Dense(1, kernel_init=kaiming_normal())(jnp.tanh(ri + rp)))
-        img_new = nn.Dense(pc, use_bias=False, kernel_init=kaiming_normal())(img_feats)
+        ri = nn.Dense(rc, kernel_init=kaiming_normal(), dtype=self.dtype)(img_feats)
+        rp = nn.Dense(rc, kernel_init=kaiming_normal(), dtype=self.dtype)(point_feats)
+        att = jax.nn.sigmoid(nn.Dense(1, kernel_init=kaiming_normal())(
+            jnp.tanh(ri.astype(jnp.float32) + rp.astype(jnp.float32))))
+        img_new = nn.Dense(pc, use_bias=False, kernel_init=kaiming_normal(),
+                           dtype=self.dtype)(img_feats)
         img_new = BatchNorm()(img_new, train=train, momentum=bn_momentum)
         img_new = nn.relu(img_new)
         return img_new * att
@@ -62,14 +66,16 @@ class AttenFusionConv(nn.Module):
     (Atten_Fusion_Conv, pointnet2_msg.py:84-104)."""
 
     out_channels: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, point_feats, img_feats, train: bool = False, bn_momentum=0.1):
         pc = point_feats.shape[-1]
-        gated = IALayer(point_channels=pc)(img_feats, point_feats,
-                                           train=train, bn_momentum=bn_momentum)
-        x = jnp.concatenate([point_feats, gated], axis=-1)
-        x = nn.Dense(self.out_channels, use_bias=False, kernel_init=kaiming_normal())(x)
+        gated = IALayer(point_channels=pc, dtype=self.dtype)(
+            img_feats, point_feats, train=train, bn_momentum=bn_momentum)
+        x = jnp.concatenate([point_feats, gated.astype(point_feats.dtype)], axis=-1)
+        x = nn.Dense(self.out_channels, use_bias=False, kernel_init=kaiming_normal(),
+                     dtype=self.dtype)(x)
         x = BatchNorm()(x, train=train, momentum=bn_momentum)
         return nn.relu(x)
 
@@ -79,11 +85,13 @@ class FusionConv(nn.Module):
     (Fusion_Conv, pointnet2_msg.py:35-48)."""
 
     out_channels: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, point_feats, img_feats, train: bool = False, bn_momentum=0.1):
         x = jnp.concatenate([point_feats, img_feats], axis=-1)
-        x = nn.Dense(self.out_channels, use_bias=False, kernel_init=kaiming_normal())(x)
+        x = nn.Dense(self.out_channels, use_bias=False, kernel_init=kaiming_normal(),
+                     dtype=self.dtype)(x)
         x = BatchNorm()(x, train=train, momentum=bn_momentum)
         return nn.relu(x)
 
@@ -94,9 +102,10 @@ class DeConvUp(nn.Module):
 
     features: int
     kernel: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         return nn.ConvTranspose(self.features, (self.kernel, self.kernel),
                                 strides=(self.kernel, self.kernel),
-                                kernel_init=kaiming_normal())(x)
+                                kernel_init=kaiming_normal(), dtype=self.dtype)(x)

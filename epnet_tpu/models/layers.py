@@ -40,6 +40,7 @@ class BatchNorm(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool, momentum=0.1):
         C = x.shape[-1]
+        x = x.astype(jnp.float32)  # stats and normalization always in f32
         ra_mean = self.variable('batch_stats', 'mean', lambda: jnp.zeros(C, jnp.float32))
         ra_var = self.variable('batch_stats', 'var', lambda: jnp.ones(C, jnp.float32))
         scale = self.param('scale', nn.initializers.ones, (C,))
@@ -74,10 +75,12 @@ class PointwiseConv(nn.Module):
     bn: bool = True
     activation: bool = True
     kernel_init: Callable = kaiming_normal()
+    dtype: Any = None  # bf16 for mixed precision; params stay f32
 
     @nn.compact
     def __call__(self, x, train: bool = False, bn_momentum=0.1):
-        x = nn.Dense(self.features, use_bias=not self.bn, kernel_init=self.kernel_init)(x)
+        x = nn.Dense(self.features, use_bias=not self.bn,
+                     kernel_init=self.kernel_init, dtype=self.dtype)(x)
         if self.bn:
             x = BatchNorm()(x, train=train, momentum=bn_momentum)
         if self.activation:
@@ -90,11 +93,13 @@ class SharedMLP(nn.Module):
 
     features: Sequence[int]
     bn: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, bn_momentum=0.1):
         for f in self.features:
-            x = PointwiseConv(f, bn=self.bn)(x, train=train, bn_momentum=bn_momentum)
+            x = PointwiseConv(f, bn=self.bn, dtype=self.dtype)(
+                x, train=train, bn_momentum=bn_momentum)
         return x
 
 
@@ -107,12 +112,14 @@ class Conv2dBlock(nn.Module):
     bn: bool = False
     activation: bool = False
     use_bias: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, bn_momentum=0.1):
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride), padding='SAME',
-                    use_bias=self.use_bias, kernel_init=kaiming_normal())(x)
+                    use_bias=self.use_bias, kernel_init=kaiming_normal(),
+                    dtype=self.dtype)(x)
         if self.bn:
             x = BatchNorm()(x, train=train, momentum=bn_momentum)
         if self.activation:

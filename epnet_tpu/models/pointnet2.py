@@ -40,6 +40,7 @@ class SAModuleMSG(nn.Module):
     mlps: Sequence[Sequence[int]]  # per-scale hidden sizes (without input dim)
     use_xyz: bool = True
     bn: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, xyz, features=None, train: bool = False, bn_momentum=0.1):
@@ -66,7 +67,8 @@ class SAModuleMSG(nn.Module):
                 if features is not None:
                     g = jnp.concatenate([g, features[:, None, :, :]], -1) if self.use_xyz \
                         else features[:, None, :, :]
-            g = SharedMLP(hidden, bn=self.bn)(g, train=train, bn_momentum=bn_momentum)
+            g = SharedMLP(hidden, bn=self.bn, dtype=self.dtype)(
+                g, train=train, bn_momentum=bn_momentum)
             outs.append(jnp.max(g, axis=2))  # max over the sample axis
 
         new_features = jnp.concatenate(outs, axis=-1)
@@ -85,6 +87,7 @@ class FPModule(nn.Module):
 
     mlp: Sequence[int]
     bn: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, unknown, known, unknown_feats, known_feats,
@@ -102,4 +105,5 @@ class FPModule(nn.Module):
             x = jnp.concatenate([interp, unknown_feats], axis=-1)
         else:
             x = interp
-        return SharedMLP(self.mlp, bn=self.bn)(x, train=train, bn_momentum=bn_momentum)
+        return SharedMLP(self.mlp, bn=self.bn, dtype=self.dtype)(
+            x, train=train, bn_momentum=bn_momentum)

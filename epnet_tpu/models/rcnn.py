@@ -26,16 +26,17 @@ class RCNNNet(nn.Module):
         """
         cfg = self.cfg
         rc = cfg.RCNN
+        dt = jnp.bfloat16 if cfg.MIXED_PRECISION else None
         xyz = pts_input[..., 0:3]
 
         if rc.USE_RPN_FEATURES:
             # raw geometric channels -> 128, merged with rpn features
             ci = rc.input_channel
-            xyz_feat = SharedMLP(rc.XYZ_UP_LAYER, bn=rc.USE_BN, name='xyz_up')(
+            xyz_feat = SharedMLP(rc.XYZ_UP_LAYER, bn=rc.USE_BN, dtype=dt, name='xyz_up')(
                 pts_input[..., 0:ci], train=train, bn_momentum=bn_momentum)
             rpn_feat = pts_input[..., ci:]
             merged = jnp.concatenate([xyz_feat, rpn_feat], axis=-1)
-            feats = SharedMLP((rc.XYZ_UP_LAYER[-1],), bn=rc.USE_BN, name='merge_down')(
+            feats = SharedMLP((rc.XYZ_UP_LAYER[-1],), bn=rc.USE_BN, dtype=dt, name='merge_down')(
                 merged, train=train, bn_momentum=bn_momentum)
         else:
             feats = pts_input[..., 3:]
@@ -47,10 +48,10 @@ class RCNNNet(nn.Module):
                 radii=(rc.SA_CONFIG.RADIUS[i],),
                 nsamples=(rc.SA_CONFIG.NSAMPLE[i],),
                 mlps=(rc.SA_CONFIG.MLPS[i],),
-                use_xyz=True, bn=rc.USE_BN, name=f'sa{i}')(
+                use_xyz=True, bn=rc.USE_BN, dtype=dt, name=f'sa{i}')(
                     l_xyz, l_feats, train=train, bn_momentum=bn_momentum)
 
-        x = l_feats[:, 0, :]  # (B*R, C) — final stage pools to one point
+        x = l_feats[:, 0, :].astype(jnp.float32)  # (B*R, C) — final pool
 
         # binary -> single sigmoid logit; multi-class (People) -> n logits
         # (rcnn_net.py:45)
