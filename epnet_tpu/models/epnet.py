@@ -105,6 +105,8 @@ def _pool_for_eval(cfg: Config, rois, xyz, rpn_features, seg_mask, pts_depth):
     if cfg.RCNN.USE_DEPTH:
         extra.append((pts_depth / 70.0 - 0.5)[..., None])
     feats = jnp.concatenate(extra + [rpn_features], axis=-1)
+    if cfg.MIXED_PRECISION:
+        feats = feats.astype(jnp.bfloat16)  # halves the pooling gather traffic
     pooled, _ = roipool3d(xyz, feats, rois, cfg.RCNN.POOL_EXTRA_WIDTH,
                           sampled_pt_num=cfg.RCNN.NUM_POINTS)
     ctr = rois[..., 0:3]

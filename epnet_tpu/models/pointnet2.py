@@ -51,22 +51,32 @@ class SAModuleMSG(nn.Module):
             fps_idx = None
             new_xyz = None
 
+        # in mixed precision, gather activations at bf16: neighbourhood
+        # grouping is HBM-bound, this halves its traffic (geometry stays f32)
+        gfeats = features
+        if self.dtype is not None and features is not None:
+            gfeats = features.astype(self.dtype)
+
         outs = []
         for i, hidden in enumerate(self.mlps):
             if self.npoint is not None:
                 idx = ball_query(self.radii[i], self.nsamples[i], xyz, new_xyz)
                 grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
-                if features is not None:
-                    grouped = group_points(features, idx)
+                if self.dtype is not None:
+                    grouped_xyz = grouped_xyz.astype(self.dtype)
+                if gfeats is not None:
+                    grouped = group_points(gfeats, idx)
                     g = jnp.concatenate([grouped_xyz, grouped], -1) if self.use_xyz else grouped
                 else:
                     g = grouped_xyz
             else:
                 # group all: (B, 1, N, 3 + C); xyz NOT recentred (GroupAll)
                 g = xyz[:, None, :, :]
-                if features is not None:
-                    g = jnp.concatenate([g, features[:, None, :, :]], -1) if self.use_xyz \
-                        else features[:, None, :, :]
+                if self.dtype is not None:
+                    g = g.astype(self.dtype)
+                if gfeats is not None:
+                    g = jnp.concatenate([g, gfeats[:, None, :, :]], -1) if self.use_xyz \
+                        else gfeats[:, None, :, :]
             g = SharedMLP(hidden, bn=self.bn, dtype=self.dtype)(
                 g, train=train, bn_momentum=bn_momentum)
             outs.append(jnp.max(g, axis=2))  # max over the sample axis
@@ -96,6 +106,9 @@ class FPModule(nn.Module):
             dist, idx = three_nn(unknown, known)
             recip = 1.0 / (dist + 1e-8)
             weight = recip / jnp.sum(recip, axis=-1, keepdims=True)
+            if self.dtype is not None:
+                known_feats = known_feats.astype(self.dtype)
+                weight = weight.astype(self.dtype)
             interp = three_interpolate(known_feats, idx, weight)  # (B, N, C2)
         else:
             interp = jnp.broadcast_to(

@@ -57,9 +57,13 @@ def roipool3d(
     idx = jnp.take_along_axis(first_k, sel_slot, axis=-1)  # (B, M, S)
     idx = jnp.where(empty_flag[..., None] > 0, 0, jnp.clip(idx, 0, N - 1))
 
-    data = jnp.concatenate([xyz, features], axis=-1)  # (B, N, 3+C)
-    flat = jnp.take_along_axis(data, idx.reshape(B, M * S)[..., None], axis=1)
-    pooled = flat.reshape(B, M, S, data.shape[-1])
+    # gather xyz and features separately so a bf16 feature table keeps its
+    # dtype through the (HBM-bound) gather; concat upcasts afterwards
+    flat_idx = idx.reshape(B, M * S)[..., None]
+    g_xyz = jnp.take_along_axis(xyz, flat_idx, axis=1).reshape(B, M, S, 3)
+    g_feat = jnp.take_along_axis(features, flat_idx, axis=1).reshape(
+        B, M, S, features.shape[-1])
+    pooled = jnp.concatenate([g_xyz, g_feat.astype(g_xyz.dtype)], axis=-1)
     # empty boxes produce all-zero output like the CUDA pipeline
     pooled = jnp.where(empty_flag[..., None, None] > 0, 0.0, pooled)
     return pooled, empty_flag
