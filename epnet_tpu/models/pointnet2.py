@@ -41,11 +41,19 @@ class SAModuleMSG(nn.Module):
     use_xyz: bool = True
     bn: bool = True
     dtype: object = None
+    sampler: str = 'fps'  # 'fps' | 'random' (see Config.RPN.SAMPLING)
 
     @nn.compact
     def __call__(self, xyz, features=None, train: bool = False, bn_momentum=0.1):
         if self.npoint is not None:
-            fps_idx = furthest_point_sample(xyz, self.npoint)
+            if self.sampler == 'random':
+                # input order is a shuffled subset (loader), so the first
+                # npoint indices are already a uniform random sample
+                fps_idx = jnp.broadcast_to(
+                    jnp.arange(self.npoint, dtype=jnp.int32)[None],
+                    (xyz.shape[0], self.npoint))
+            else:
+                fps_idx = furthest_point_sample(xyz, self.npoint)
             new_xyz = gather_points(xyz, fps_idx)
         else:  # group-all (reference GroupAll, pointnet2_utils.py:283-306)
             fps_idx = None

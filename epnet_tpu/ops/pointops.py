@@ -180,11 +180,16 @@ def three_nn(
     unknown: jnp.ndarray,
     known: jnp.ndarray,
     max_block_elems: int = 64 * 1024 * 1024,
+    exact: bool = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Brute-force exact 3 nearest neighbours (interpolate_gpu.cu:9-75).
+    """Brute-force 3 nearest neighbours (interpolate_gpu.cu:9-75).
 
-    k=3 is extracted with three masked argmin passes over the MXU-computed
-    distance matrix — ~7x faster than sort-based top_k on TPU and exact.
+    Exact path: three masked argmin passes over the MXU-computed distance
+    matrix (~7x faster than sort-based top_k, bit-exact). On TPU the default
+    is the hardware-accelerated ``approx_min_k`` (recall ~0.95): a small
+    fraction of 3rd-nearest neighbours may be the 4th-nearest instead, which
+    perturbs the inverse-distance interpolation weights negligibly and costs
+    ~nothing.
 
     :param unknown: (B, N, 3) query points
     :param known: (B, M, 3) reference points
@@ -195,6 +200,13 @@ def three_nn(
     M = known.shape[1]
     unknown = lax.stop_gradient(unknown)
     known = lax.stop_gradient(known)
+    if exact is None:
+        exact = jax.default_backend() != 'tpu'
+
+    if not exact:
+        d2 = jnp.clip(_pairwise_d2(unknown, known), 0.0, None)
+        vals, idx = lax.approx_min_k(d2, 3, recall_target=0.95)
+        return jnp.sqrt(vals), idx.astype(jnp.int32)
 
     def block(queries):  # (B, c, 3)
         d2 = _pairwise_d2(queries, known)

@@ -91,6 +91,11 @@ def eval_one(cfg, args, ckpt_path, logger):
     if args.eval_mode == 'rpn':
         return evaluate_rpn(cfg, variables, dataset, loader, result_dir,
                             logger=logger, save_rpn_feature=args.save_rpn_feature)
+    if args.eval_mode == 'rcnn_offline':
+        from epnet_tpu.eval.rcnn_offline_eval import evaluate_rcnn_offline
+
+        return evaluate_rcnn_offline(cfg, variables, dataset, result_dir,
+                                     logger=logger, run_ap=not args.test)
     return evaluate_joint(cfg, variables, dataset, loader, result_dir,
                           logger=logger, run_ap=not args.test)
 
