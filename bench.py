@@ -21,7 +21,7 @@ import json
 import time
 
 A100_BASELINE_SCANS_PER_SEC = 20.0
-BATCH = 4
+BATCH = 8
 WARMUP = 2
 ITERS = 10
 

@@ -34,11 +34,14 @@ _SUB = 8  # output is staged as (8, P) in VMEM to satisfy tiling rules
 
 
 def _fps_kernel(xs_ref, ys_ref, zs_ref, out_ref, mind_ref, idx_ref, *, npoint: int, n: int):
+    from jax.experimental import pallas as pl
+
     rows = n // _LANE
     flat_iota = (
         lax.broadcasted_iota(jnp.int32, (rows, _LANE), 0) * _LANE
         + lax.broadcasted_iota(jnp.int32, (rows, _LANE), 1)
     )
+    lane_iota = lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
 
     mind_ref[:] = jnp.full((rows, _LANE), 1e10, dtype=jnp.float32)
     idx_ref[:] = jnp.zeros_like(idx_ref)
@@ -50,12 +53,14 @@ def _fps_kernel(xs_ref, ys_ref, zs_ref, out_ref, mind_ref, idx_ref, *, npoint: i
     )
 
     def body(j, last):
-        # scalar VMEM loads/stores are not supported: fetch the selected
-        # point's coordinates with masked reductions instead
-        sel = flat_iota == last
-        x1 = jnp.max(jnp.where(sel, xs_ref[0], -jnp.inf))
-        y1 = jnp.max(jnp.where(sel, ys_ref[0], -jnp.inf))
-        z1 = jnp.max(jnp.where(sel, zs_ref[0], -jnp.inf))
+        # scalar VMEM loads are unsupported; fetch the selected point's
+        # coordinates via a dynamic row slice + a 128-lane masked reduce
+        # (much cheaper than full-array masked reductions)
+        r, c = last // _LANE, last % _LANE
+        lane_m = lane_iota == c
+        x1 = jnp.max(jnp.where(lane_m, xs_ref[0, pl.ds(r, 1), :], -jnp.inf))
+        y1 = jnp.max(jnp.where(lane_m, ys_ref[0, pl.ds(r, 1), :], -jnp.inf))
+        z1 = jnp.max(jnp.where(lane_m, zs_ref[0, pl.ds(r, 1), :], -jnp.inf))
         d = ((xs_ref[0] - x1) ** 2 + (ys_ref[0] - y1) ** 2 + (zs_ref[0] - z1) ** 2)
         mind = jnp.minimum(mind_ref[:], d)
         mind_ref[:] = mind
