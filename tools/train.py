@@ -94,6 +94,16 @@ def main():
     logger.info('devices: %s', jax.devices())
     save_config(cfg, logger=logger)
 
+    # source backup into the output dir (reference train_rcnn.py:200-206)
+    import tarfile
+    src_root = os.path.join(os.path.dirname(__file__), '..')
+    with tarfile.open(os.path.join(out_dir, 'source.tar.gz'), 'w:gz') as tar:
+        for sub in ('epnet_tpu', 'tools', 'cfgs', 'native'):
+            p = os.path.join(src_root, sub)
+            if os.path.isdir(p):
+                tar.add(p, arcname=sub,
+                        filter=lambda ti: None if '__pycache__' in ti.name else ti)
+
     dataset = KittiRCNNDataset(
         args.data_root, cfg, npoints=cfg.RPN.NUM_POINTS, split=cfg.TRAIN.SPLIT,
         classes=cfg.CLASSES, mode='TRAIN', logger=logger,
