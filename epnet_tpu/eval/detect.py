@@ -118,14 +118,22 @@ def make_joint_eval_step(cfg: Config, model: EPNet):
 
 
 def evaluate_joint(cfg: Config, variables, dataset, loader, result_dir: str,
-                   logger=None, run_ap: bool = True) -> Dict:
-    """Full epoch: inference, KITTI txt dump, recall + AP."""
+                   logger=None, run_ap: bool = True,
+                   save_result: bool = False) -> Dict:
+    """Full epoch: inference, KITTI txt dump, recall + AP. With
+    ``save_result``, also dump roi/refined boxes and per-point rpn outputs
+    like the reference (eval_rcnn.py:639-660)."""
     from .kitti_common import get_label_annos, parse_label_file, save_kitti_format
 
     model = EPNet(cfg, mode='TEST')
     step = make_joint_eval_step(cfg, model)
     final_dir = os.path.join(result_dir, 'final_result', 'data')
     os.makedirs(final_dir, exist_ok=True)
+    if save_result:
+        roi_dir = os.path.join(result_dir, 'roi_result', 'data')
+        refine_dir = os.path.join(result_dir, 'refine_result', 'data')
+        os.makedirs(roi_dir, exist_ok=True)
+        os.makedirs(refine_dir, exist_ok=True)
 
     tot_recall_pred = np.zeros(len(THRESH_LIST))
     tot_recall_roi = np.zeros(len(THRESH_LIST))
@@ -157,6 +165,13 @@ def evaluate_joint(cfg: Config, variables, dataset, loader, result_dir: str,
             img_shape = dataset.get_image_shape(sid)
             save_kitti_format(final_dir, sid, calib, boxes, scores, img_shape,
                               classes=(cfg.CLASSES,))
+            if save_result:
+                save_kitti_format(roi_dir, sid, calib, res['rois'][k],
+                                  res['roi_scores_raw'][k], img_shape,
+                                  classes=(cfg.CLASSES,))
+                save_kitti_format(refine_dir, sid, calib, res['pred_boxes3d'][k],
+                                  res['raw_scores'][k], img_shape,
+                                  classes=(cfg.CLASSES,))
 
     ret = {'rpn_iou': tot_rpn_iou / max(n_batches, 1),
            'rcnn_avg_num': final_total / max(len(seen_ids), 1)}

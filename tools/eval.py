@@ -38,6 +38,7 @@ def parse_args():
     p.add_argument('--data_root', type=str, default='data')
     p.add_argument('--output_dir', type=str, default=None)
     p.add_argument('--save_rpn_feature', action='store_true')
+    p.add_argument('--save_result', action='store_true')
     p.add_argument('--test', action='store_true', help='test split, no labels')
     p.add_argument('--max_gt', type=int, default=50)
     p.add_argument('--set', dest='set_cfgs', default=None, nargs=argparse.REMAINDER)
@@ -97,7 +98,8 @@ def eval_one(cfg, args, ckpt_path, logger):
         return evaluate_rcnn_offline(cfg, variables, dataset, result_dir,
                                      logger=logger, run_ap=not args.test)
     return evaluate_joint(cfg, variables, dataset, loader, result_dir,
-                          logger=logger, run_ap=not args.test)
+                          logger=logger, run_ap=not args.test,
+                          save_result=args.save_result)
 
 
 def repeat_eval_all(cfg, args, logger):
