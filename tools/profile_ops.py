@@ -12,7 +12,8 @@ rng = np.random.RandomState(0)
 B, N = 4, 16384
 xyz = rng.randn(B, N, 3).astype(np.float32) * 10
 
-from epnet_tpu.ops import pointops, nms, boxes, roipool3d
+from epnet_tpu.ops import pointops, nms
+from epnet_tpu.ops.roipool3d import roipool3d
 from epnet_tpu.ops.fps_pallas import furthest_point_sample_pallas
 
 timeit('fps 16384->4096', functools.partial(furthest_point_sample_pallas, npoint=4096), xyz)
@@ -35,5 +36,5 @@ timeit('nms 6300 normal', nm, bev, scores)
 
 # roipool eval scale
 boxes3d = np.concatenate([rng.uniform(-20,20,(B,100,1)), rng.uniform(0,2,(B,100,1)), rng.uniform(0,60,(B,100,1)), rng.uniform(1.4,1.8,(B,100,3)), rng.uniform(-3,3,(B,100,1))],axis=2).astype(np.float32)
-rp = jax.jit(functools.partial(roipool3d.roipool3d, pool_extra_width=0.2, sampled_pt_num=512))
+rp = jax.jit(functools.partial(roipool3d, pool_extra_width=0.2, sampled_pt_num=512))
 timeit('roipool B4 M100 S512', rp, xyz, feats, boxes3d)
