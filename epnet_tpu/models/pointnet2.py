@@ -16,6 +16,7 @@ from flax import linen as nn
 
 from ..ops.pointops import (
     ball_query,
+    ball_query_multi,
     furthest_point_sample,
     gather_points,
     group_points,
@@ -65,10 +66,14 @@ class SAModuleMSG(nn.Module):
         if self.dtype is not None and features is not None:
             gfeats = features.astype(self.dtype)
 
+        if self.npoint is not None:
+            # one shared distance field for all MSG scales
+            scale_idx = ball_query_multi(self.radii, self.nsamples, xyz, new_xyz)
+
         outs = []
         for i, hidden in enumerate(self.mlps):
             if self.npoint is not None:
-                idx = ball_query(self.radii[i], self.nsamples[i], xyz, new_xyz)
+                idx = scale_idx[i]
                 grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
                 if self.dtype is not None:
                     grouped_xyz = grouped_xyz.astype(self.dtype)

@@ -140,16 +140,7 @@ def ball_query(
 
     if not exact:
         d2 = _pairwise_d2(new_xyz, xyz)
-        mask = d2 < radius * radius
-        keys = jnp.where(mask, -jnp.arange(N, dtype=jnp.float32), -2.0 * N)
-        v, idx = lax.approx_max_k(keys, nsample, recall_target=0.95)
-        idx = idx.astype(jnp.int32)
-        valid = v > -2.0 * N
-        cnt = jnp.sum(valid, axis=-1)
-        first = idx[..., 0:1]
-        slot = jnp.arange(nsample, dtype=jnp.int32)
-        idx = jnp.where(valid, idx, first)
-        return jnp.where(cnt[..., None] > 0, idx, 0)
+        return _ball_from_d2_approx(d2, radius, nsample)
 
     def block(centroids):  # (B, c, 3) -> (B, c, nsample)
         d2 = jnp.sum((centroids[:, :, None, :] - xyz[:, None, :, :]) ** 2, axis=-1)
@@ -170,6 +161,37 @@ def ball_query(
     chunks = jnp.moveaxis(new_xyz.reshape(B, M // chunk, chunk, 3), 1, 0)
     out = lax.map(block, chunks)  # (M//chunk, B, chunk, nsample)
     return jnp.moveaxis(out, 0, 1).reshape(B, M, nsample)
+
+
+def _ball_from_d2_approx(d2: jnp.ndarray, radius: float, nsample: int) -> jnp.ndarray:
+    """approx_max_k first-hit selection from a precomputed (B, M, N) d2."""
+    N = d2.shape[-1]
+    mask = d2 < radius * radius
+    keys = jnp.where(mask, -jnp.arange(N, dtype=jnp.float32), -2.0 * N)
+    v, idx = lax.approx_max_k(keys, nsample, recall_target=0.95)
+    idx = idx.astype(jnp.int32)
+    valid = v > -2.0 * N
+    cnt = jnp.sum(valid, axis=-1)
+    first = idx[..., 0:1]
+    idx = jnp.where(valid, idx, first)
+    return jnp.where(cnt[..., None] > 0, idx, 0)
+
+
+def ball_query_multi(radii, nsamples, xyz, new_xyz, exact: bool = None):
+    """Multi-scale ball query sharing ONE distance field.
+
+    MSG set abstraction queries several radii around the SAME centroids
+    (pointnet2_modules.py:96-103 builds one grouper per radius); computing
+    the (B, M, N) distance matrix once halves the dominant HBM traffic of
+    the query stage.
+    """
+    if exact is None:
+        exact = jax.default_backend() != 'tpu'
+    if exact:
+        return [ball_query(r, s, xyz, new_xyz, exact=True)
+                for r, s in zip(radii, nsamples)]
+    d2 = _pairwise_d2(lax.stop_gradient(new_xyz), lax.stop_gradient(xyz))
+    return [_ball_from_d2_approx(d2, r, s) for r, s in zip(radii, nsamples)]
 
 
 # ---------------------------------------------------------------------------
