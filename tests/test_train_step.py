@@ -79,3 +79,15 @@ def test_bn_momentum_schedule():
                               'BNM_CLIP': 0.01,
                               'BN_DECAY_STEP_LIST': (1, 2, 3, 4, 5)})
     assert bn_momentum_at(cfg2, 100) == 0.01  # floored at BNM_CLIP
+
+
+def test_multi_step_dispatch(setup):
+    from epnet_tpu.train.trainer import jit_multi_train_step
+
+    cfg, batch, state, model, tx = setup
+    state = _copy(state)
+    multi = jit_multi_train_step(cfg, model, tx)
+    stacked = jax.tree_util.tree_map(lambda x: np.stack([x, x], axis=0), batch)
+    state2, tb = multi(state, stacked, jax.random.PRNGKey(0), jnp.float32(0.1))
+    assert np.isfinite(float(tb['loss'])) and np.isfinite(float(tb['loss_mean']))
+    assert int(state2.step) == 2  # two optimizer steps applied

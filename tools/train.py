@@ -26,6 +26,8 @@ def parse_args():
     p.add_argument('--epochs', type=int, default=50)
     p.add_argument('--workers', type=int, default=8)
     p.add_argument('--ckpt_save_interval', type=int, default=5)
+    p.add_argument('--steps_per_call', type=int, default=1,
+                   help='train steps fused per device dispatch (lax.scan)')
     p.add_argument('--output_dir', type=str, default=None)
     p.add_argument('--data_root', type=str, default='data')
     p.add_argument('--ckpt', type=str, default=None, help='resume checkpoint')
@@ -141,7 +143,7 @@ def main():
     tb = SummaryWriter(os.path.join(out_dir, 'tensorboard'))
     trainer = Trainer(cfg, model, tx, state, ckpt_dir=ckpt_dir, mesh=mesh,
                       ckpt_save_interval=args.ckpt_save_interval, logger=logger,
-                      tb_log=tb)
+                      tb_log=tb, steps_per_call=args.steps_per_call)
 
     eval_fn = eval_loader = None
     if args.train_with_eval:
