@@ -39,3 +39,19 @@ for _ in range(n):
     np.asarray(tb['loss'])
 dt = (time.time()-t0)/n
 print(f'train step: {dt*1000:.0f} ms/batch -> {B/dt:.2f} scans/sec', flush=True)
+
+# multi-step dispatch timing
+from epnet_tpu.train.trainer import jit_multi_train_step
+K = 4
+multi = jit_multi_train_step(cfg, model, tx)
+stacked = jax.tree_util.tree_map(lambda x: np.stack([x]*K, 0), device_batch(batch))
+sd = jax.device_put(stacked)
+state2, tb2 = multi(state, sd, key, jnp.float32(0.1))
+np.asarray(tb2['loss'])
+t0 = time.time()
+n = 3
+for _ in range(n):
+    state2, tb2 = multi(state2, sd, key, jnp.float32(0.1))
+    np.asarray(tb2['loss'])
+dt = (time.time()-t0)/n
+print(f'multi-step (K={K}) train: {dt/K*1000:.0f} ms/step -> {B*K/dt:.2f} scans/sec', flush=True)
