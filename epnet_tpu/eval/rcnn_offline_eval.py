@@ -25,11 +25,20 @@ from ..ops.nms import nms_bev
 MAX_ROIS = 128  # fixed per-frame roi budget (test-time proposals are <=100)
 
 
+def _unwrap_rcnn(variables):
+    """Accept either bare RCNNNet variables or full-EPNet ones (prefix 'rcnn')."""
+    out = {}
+    for col in ('params', 'batch_stats'):
+        tree = variables.get(col, {})
+        out[col] = tree['rcnn'] if 'rcnn' in tree else tree
+    return out
+
+
 def make_rcnn_offline_eval_step(cfg: Config):
     model = RCNNNet(cfg)
 
     def step(variables, pts_input, rois, roi_scores, n_valid):
-        out = model.apply(variables, pts_input, train=False)
+        out = model.apply(_unwrap_rcnn(variables), pts_input, train=False)
         rcnn_cls = out['rcnn_cls'].reshape(-1)
         rcnn_reg = out['rcnn_reg']
         if cfg.USE_IOU_BRANCH:
