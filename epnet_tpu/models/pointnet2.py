@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -60,11 +61,41 @@ class SAModuleMSG(nn.Module):
             fps_idx = None
             new_xyz = None
 
-        # in mixed precision, gather activations at bf16: neighbourhood
-        # grouping is HBM-bound, this halves its traffic (geometry stays f32)
+        # Neighbourhood grouping is gather-bound. Gathering xyz (3ch) and
+        # features separately wastes lanes (a 3-channel gather runs at ~1/20
+        # of the 128-channel rate) and doubles the row count, so both are
+        # packed into ONE gather table: xyz stays f32; in mixed precision the
+        # bf16 features are bitcast in pairs into f32 lanes and unpacked
+        # after the gather.
         gfeats = features
-        if self.dtype is not None and features is not None:
-            gfeats = features.astype(self.dtype)
+        packed_cols = 0
+        if features is not None:
+            if self.dtype is not None:
+                gfeats = features.astype(self.dtype)
+                C = gfeats.shape[-1]
+                if C % 2:
+                    gfeats = jnp.pad(gfeats, ((0, 0), (0, 0), (0, 1)))
+                    C += 1
+                packed = jax.lax.bitcast_convert_type(
+                    gfeats.reshape(*gfeats.shape[:-1], C // 2, 2), jnp.float32)
+                packed_cols = C // 2
+                table = jnp.concatenate([xyz, packed], axis=-1)
+            else:
+                packed_cols = gfeats.shape[-1]
+                table = jnp.concatenate([xyz, gfeats], axis=-1)
+        else:
+            table = xyz
+
+        def unpack_feats(g):
+            if packed_cols == 0:
+                return None
+            gf = g[..., 3:3 + packed_cols]
+            if self.dtype is not None:
+                gf = jax.lax.bitcast_convert_type(gf, self.dtype)
+                gf = gf.reshape(*gf.shape[:-2], gf.shape[-2] * 2)
+                if features is not None and gf.shape[-1] != features.shape[-1]:
+                    gf = gf[..., :features.shape[-1]]
+            return gf
 
         if self.npoint is not None:
             # one shared distance field for all MSG scales
@@ -74,11 +105,12 @@ class SAModuleMSG(nn.Module):
         for i, hidden in enumerate(self.mlps):
             if self.npoint is not None:
                 idx = scale_idx[i]
-                grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+                gt = group_points(table, idx)
+                grouped_xyz = gt[..., 0:3] - new_xyz[:, :, None, :]
                 if self.dtype is not None:
                     grouped_xyz = grouped_xyz.astype(self.dtype)
-                if gfeats is not None:
-                    grouped = group_points(gfeats, idx)
+                grouped = unpack_feats(gt)
+                if grouped is not None:
                     g = jnp.concatenate([grouped_xyz, grouped], -1) if self.use_xyz else grouped
                 else:
                     g = grouped_xyz
