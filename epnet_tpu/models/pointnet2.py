@@ -67,23 +67,28 @@ class SAModuleMSG(nn.Module):
         # packed into ONE gather table: xyz stays f32; in mixed precision the
         # bf16 features are bitcast in pairs into f32 lanes and unpacked
         # after the gather.
+        # Small tables (N <= 1024) take group_points' one-hot MXU path, where
+        # packing is unnecessary (and bitcast bit patterns must not transit
+        # the MXU); big tables use one packed row gather.
+        pack = xyz.shape[1] > 1024
         gfeats = features
         packed_cols = 0
         if features is not None:
             if self.dtype is not None:
                 gfeats = features.astype(self.dtype)
-                C = gfeats.shape[-1]
-                if C % 2:
-                    gfeats = jnp.pad(gfeats, ((0, 0), (0, 0), (0, 1)))
-                    C += 1
-                packed = jax.lax.bitcast_convert_type(
-                    gfeats.reshape(*gfeats.shape[:-1], C // 2, 2), jnp.float32)
-                packed_cols = C // 2
-                table = jnp.concatenate([xyz, packed], axis=-1)
-            else:
+                if pack:
+                    C = gfeats.shape[-1]
+                    if C % 2:
+                        gfeats = jnp.pad(gfeats, ((0, 0), (0, 0), (0, 1)))
+                        C += 1
+                    packed = jax.lax.bitcast_convert_type(
+                        gfeats.reshape(*gfeats.shape[:-1], C // 2, 2), jnp.float32)
+                    packed_cols = C // 2
+                    table = jnp.concatenate([xyz, packed], axis=-1)
+            elif pack:
                 packed_cols = gfeats.shape[-1]
                 table = jnp.concatenate([xyz, gfeats], axis=-1)
-        else:
+        if not pack or features is None:
             table = xyz
 
         def unpack_feats(g):
@@ -105,11 +110,15 @@ class SAModuleMSG(nn.Module):
         for i, hidden in enumerate(self.mlps):
             if self.npoint is not None:
                 idx = scale_idx[i]
-                gt = group_points(table, idx)
-                grouped_xyz = gt[..., 0:3] - new_xyz[:, :, None, :]
+                if pack:
+                    gt = group_points(table, idx)
+                    grouped_xyz = gt[..., 0:3] - new_xyz[:, :, None, :]
+                    grouped = unpack_feats(gt)
+                else:
+                    grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+                    grouped = group_points(gfeats, idx) if gfeats is not None else None
                 if self.dtype is not None:
                     grouped_xyz = grouped_xyz.astype(self.dtype)
-                grouped = unpack_feats(gt)
                 if grouped is not None:
                     g = jnp.concatenate([grouped_xyz, grouped], -1) if self.use_xyz else grouped
                 else:

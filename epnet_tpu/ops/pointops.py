@@ -78,10 +78,43 @@ def gather_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 def group_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """points (B, N, C), idx (B, M, S) -> (B, M, S, C). Replaces
-    group_points_gpu.cu:8-86."""
+    group_points_gpu.cu:8-86.
+
+    TPU gathers are ROW-latency bound (~13 ns/row regardless of width), so
+    for small tables (N <= 1024 — every RCNN stage and the deep RPN stages)
+    the gather is expressed as a one-hot matmul on the MXU instead: 0/1
+    weights with HIGHEST-precision accumulation reproduce the rows
+    bit-exactly and run ~8x faster at the RCNN pooling shape. Backward
+    becomes a transposed matmul (vs XLA scatter-add) for free.
+    """
     B, M, S = idx.shape
-    C = points.shape[-1]
-    flat = jnp.take_along_axis(points, idx.reshape(B, M * S)[..., None], axis=1)
+    N, C = points.shape[1], points.shape[-1]
+    K = M * S
+    flat_idx = idx.reshape(B, K)
+
+    if jax.default_backend() == 'tpu' and N <= 1024:
+        # chunk the batch so the transient one-hot stays ~<=64MB
+        budget = max(1, (64 * 1024 * 1024) // max(K * N * points.dtype.itemsize, 1))
+        ch = _chunk_size(B, budget)
+        precision = (lax.Precision.HIGHEST
+                     if points.dtype == jnp.float32 else lax.Precision.DEFAULT)
+
+        def body(_, args):
+            tc, ic = args
+            oh = jax.nn.one_hot(ic, N, dtype=points.dtype)
+            out = jnp.einsum('bkn,bnc->bkc', oh, tc,
+                             preferred_element_type=jnp.float32,
+                             precision=precision)
+            return 0.0, out.astype(points.dtype)
+
+        if ch == B:
+            _, out = body(None, (points, flat_idx))
+        else:
+            _, out = lax.scan(body, 0.0, (points.reshape(B // ch, ch, N, C),
+                                          flat_idx.reshape(B // ch, ch, K)))
+        return out.reshape(B, M, S, C)
+
+    flat = jnp.take_along_axis(points, flat_idx[..., None], axis=1)
     return flat.reshape(B, M, S, C)
 
 
