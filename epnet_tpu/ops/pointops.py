@@ -72,7 +72,10 @@ def furthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
 
 def gather_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """points (B, N, C), idx (B, M) -> (B, M, C). Replaces gather_operation
-    (sampling_gpu.cu:8-83); autodiff handles the scatter-add backward."""
+    (sampling_gpu.cu:8-83); autodiff handles the scatter-add backward.
+    Small tables route through group_points' one-hot MXU fast path."""
+    if jax.default_backend() == 'tpu' and points.shape[1] <= 1024:
+        return group_points(points, idx[:, :, None])[:, :, 0]
     return jnp.take_along_axis(points, idx[..., None], axis=1)
 
 
