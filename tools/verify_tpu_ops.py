@@ -51,9 +51,7 @@ def main():
     small = rng.randn(2, 2048, 3).astype(np.float32)
     cen = small[:, :256]
     idx = np.asarray(ball_query(0.8, 16, jax.device_put(small), jax.device_put(cen)))
-    sel = np.take_along_axis(small[:, :, None, :].repeat(1, 2),
-                             idx[..., None].repeat(3, -1), 1) \
-        if False else np.stack([small[b][idx[b]] for b in range(2)])
+    sel = np.stack([small[b][idx[b]] for b in range(2)])
     d = np.linalg.norm(sel - cen[:, :, None, :], axis=-1)
     has_hit = (d.min(-1) < 0.8)
     inside = (d[has_hit] < 0.8 + 1e-5).mean()
