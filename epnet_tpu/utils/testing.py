@@ -103,9 +103,13 @@ def synthetic_batch(rng, cfg, batch=2, with_gt=True):
             rng.uniform(-np.pi, np.pi, (batch, G)),
         ], axis=-1).astype(np.float32)
         batch_dict['gt_boxes3d'] = gt
-        # simple per-point labels: fg if inside any gt (analytic test)
-        from epnet_tpu.ops import points_in_boxes3d
-        inb = np.asarray(points_in_boxes3d(pts, gt))  # (B, G, N)
+        # simple per-point labels: fg if inside any gt. Host-side numpy box
+        # test (data/box_np.py) so batch synthesis never touches a device —
+        # the multi-chip dryrun must be able to build batches before/without
+        # initializing any accelerator backend.
+        from epnet_tpu.data import box_np
+        inb = np.stack([box_np.points_in_boxes3d(pts[b], gt[b])
+                        for b in range(batch)], axis=0)  # (B, G, N)
         fg = inb.any(axis=1)
         batch_dict['rpn_cls_label'] = fg.astype(np.int32)
         # reg label: offsets to the nearest gt center (only used where fg)
