@@ -24,8 +24,25 @@ def _init_worker(dataset):
     _WORKER_DS = dataset
 
 
-def _fetch(indices):
-    return [_WORKER_DS[i] for i in indices]
+def _seed_for(seed: int, epoch: int, index: int) -> int:
+    return (seed * 1000003 + epoch * 8191 + index) % (1 << 32)
+
+
+def _fetch(indices, seed=None, epoch=0):
+    return _fetch_from(_WORKER_DS, indices, seed, epoch)
+
+
+def _fetch_from(ds, indices, seed, epoch):
+    """Per-sample reseed of the global numpy RNG: augmentation draws become
+    a pure function of (seed, epoch, sample index), so runs are reproducible
+    regardless of worker count/scheduling. (The reference left worker RNG
+    unseeded — train runs were unrepeatable.)"""
+    out = []
+    for i in indices:
+        if seed is not None:
+            np.random.seed(_seed_for(seed, epoch, i))
+        out.append(ds[i])
+    return out
 
 
 class DataLoader:
@@ -72,7 +89,8 @@ class DataLoader:
         collate = self.dataset.collate_batch
         if self._pool is None:
             for chunk in self._index_batches():
-                yield collate([self.dataset[i] for i in chunk])
+                yield collate(_fetch_from(self.dataset, chunk, self.seed,
+                                          self._epoch))
             return
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -81,7 +99,8 @@ class DataLoader:
         def producer():
             futures = []
             for chunk in self._index_batches():
-                futures.append(self._pool.submit(_fetch, chunk))
+                futures.append(self._pool.submit(_fetch, chunk, self.seed,
+                                                 self._epoch))
                 while len(futures) > self.prefetch:
                     q.put(futures.pop(0).result())
             for f in futures:

@@ -17,6 +17,15 @@ _TRIED = False
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), '..', '..', 'native')
 
 
+def _warn_fallback(why: str):
+    import logging
+
+    logging.getLogger('epnet_tpu').warning(
+        'native host kernels unavailable (%s); falling back to the much '
+        'slower numpy paths in data/box_np.py — run `make -C native` to see '
+        'the build error', why)
+
+
 def _load():
     global _LIB, _TRIED
     if _TRIED:
@@ -27,11 +36,13 @@ def _load():
         try:
             subprocess.run(['make', '-C', os.path.abspath(_NATIVE_DIR)],
                            check=True, capture_output=True)
-        except Exception:
+        except Exception as e:
+            _warn_fallback(f'build failed: {e}')
             return None
     try:
         lib = ctypes.CDLL(so)
-    except OSError:
+    except OSError as e:
+        _warn_fallback(f'dlopen failed: {e}')
         return None
     f32p = np.ctypeslib.ndpointer(np.float32, flags='C_CONTIGUOUS')
     u8p = np.ctypeslib.ndpointer(np.uint8, flags='C_CONTIGUOUS')

@@ -62,9 +62,13 @@ class EPNet(nn.Module):
                 out.update(rois=rois, roi_scores_raw=roi_scores_raw,
                            seg_result=seg_mask, roi_counts=roi_counts)
 
-                rpn_features = rpn_out['backbone_features']
-                if cfg.RPN.FIXED:
-                    rpn_features = sg(rpn_features)
+                # The reference runs the proposal-target layer (incl. the
+                # roipool gather of backbone features) under torch.no_grad()
+                # (rcnn_net.py:130-135), so RCNN loss never backprops into
+                # the RPN backbone even in joint training — only the RPN's
+                # own losses train it. Match that: always stop-gradient the
+                # features feeding the RCNN stage.
+                rpn_features = sg(rpn_out['backbone_features'])
 
                 if train:
                     key = self.make_rng('sampling')

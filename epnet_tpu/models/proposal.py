@@ -114,8 +114,13 @@ class ProposalLayer:
             k2 = min(pre_ns[1], scores.shape[0])
             idx2, cnt2 = _first_k_masked(m2, k2)
             idx1_ext, cnt1_ext = _first_k_masked(m1, min(pre_ns[0] + pre_ns[1], scores.shape[0]))
-            fb_idx = lax.dynamic_slice_in_dim(idx1_ext, pre_ns[0], k2) \
-                if idx1_ext.shape[0] >= pre_ns[0] + k2 else jnp.zeros((k2,), jnp.int32)
+            # pad so the [pre_n1 : pre_n1+k2] slice always exists even when
+            # NUM_POINTS < pre_n1 + k2; fb_cnt <= cnt1_ext - pre_n1 keeps the
+            # padded zero slots masked off inside _range_nms
+            pad = pre_ns[0] + k2 - idx1_ext.shape[0]
+            if pad > 0:
+                idx1_ext = jnp.pad(idx1_ext, (0, pad))
+            fb_idx = lax.dynamic_slice_in_dim(idx1_ext, pre_ns[0], k2)
             fb_cnt = jnp.clip(cnt1_ext - pre_ns[0], 0, k2)
             use_fb = cnt2 == 0
             idx2 = jnp.where(use_fb, fb_idx, idx2)

@@ -4,8 +4,11 @@ Replaces ``torch.nn.functional.grid_sample`` as used by LI-Fusion's
 ``Feature_Gather`` (``/root/reference/lib/net/pointnet2_msg.py:107-120``).
 The reference normalizes pixel coords to [-1, 1] against ``size - 1``
 (pointnet2_msg.py:207-210), i.e. align_corners=True semantics: grid -1 maps
-to pixel 0 and +1 to pixel W-1. Out-of-bounds taps contribute zero
-(padding_mode='zeros').
+to pixel 0 and +1 to pixel W-1. The reference pins ``torch===1.2.0``
+(requirements.txt), which predates the align_corners flag (added in torch
+1.3 with a False default) and always used align_corners=True behaviour —
+so this mapping matches the runtime that produced the published results.
+Out-of-bounds taps contribute zero (padding_mode='zeros').
 
 TPU-first: the gather of 4 neighbouring texels per point is a
 ``take_along_axis`` over the flattened H*W axis — XLA lowers this to a

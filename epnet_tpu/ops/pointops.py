@@ -61,7 +61,7 @@ def furthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
     """Public FPS entry point: Pallas kernel on TPU, XLA loop elsewhere."""
     from . import fps_pallas
 
-    if fps_pallas.available():
+    if fps_pallas.available() and xyz.shape[1] % 128 == 0:
         return fps_pallas.furthest_point_sample_pallas(xyz, npoint)
     return furthest_point_sample_xla(xyz, npoint)
 

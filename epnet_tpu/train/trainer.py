@@ -208,8 +208,9 @@ class Trainer:
     def __init__(self, cfg: Config, model, tx, state: TrainState,
                  ckpt_dir: str = 'output/ckpt', mesh=None,
                  ckpt_save_interval: int = 5, logger=None, tb_log=None,
-                 steps_per_call: int = 1):
+                 steps_per_call: int = 1, seed: int = 0):
         self.cfg = cfg
+        self.seed = seed
         self.model = model
         self.tx = tx
         self.state = state
@@ -250,7 +251,10 @@ class Trainer:
 
     def train(self, start_epoch: int, n_epochs: int, loader, eval_loader=None,
               eval_fn=None):
-        rng = jax.random.PRNGKey(int(self.cfg.TAG.__hash__()) % (1 << 31))
+        # explicit seed (not str.__hash__, which is salted per process via
+        # PYTHONHASHSEED): two runs with the same --seed train identically
+        rng = jax.random.PRNGKey(self.seed)
+        tb = None
         for epoch in range(start_epoch, n_epochs):
             bnm = bn_momentum_at(self.cfg, epoch)
             t0 = time.time()
@@ -279,7 +283,8 @@ class Trainer:
             jax.block_until_ready(self.state.params)
             jax.device_get(jax.tree_util.tree_leaves(self.state.step)[0])
             dt = time.time() - t0
-            loss = float(jax.device_get(tb['loss'])) if n_it else float('nan')
+            loss = float(jax.device_get(tb['loss'])) \
+                if (n_it and tb is not None) else float('nan')
             self.logger.info(
                 'epoch %d: %d it in %.1fs (%.2f it/s), loss %.4f, bnm %.4f',
                 epoch, n_it, dt, n_it / max(dt, 1e-9), loss, bnm)

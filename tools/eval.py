@@ -41,6 +41,10 @@ def parse_args():
     p.add_argument('--save_result', action='store_true')
     p.add_argument('--test', action='store_true', help='test split, no labels')
     p.add_argument('--max_gt', type=int, default=50)
+    p.add_argument('--platform', type=str, default=None,
+                   choices=('cpu', 'tpu'),
+                   help='pin the JAX backend (the axon TPU plugin ignores '
+                        'JAX_PLATFORMS, so use this to force CPU)')
     p.add_argument('--set', dest='set_cfgs', default=None, nargs=argparse.REMAINDER)
     return p.parse_args()
 
@@ -127,6 +131,10 @@ def repeat_eval_all(cfg, args, logger):
 
 def main():
     args = parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update('jax_platforms', args.platform)
     from epnet_tpu.config import load_config
 
     overrides = []

@@ -39,6 +39,12 @@ def parse_args():
     p.add_argument('--train_with_eval', action='store_true')
     p.add_argument('--n_devices', type=int, default=None)
     p.add_argument('--max_gt', type=int, default=50)
+    p.add_argument('--seed', type=int, default=0,
+                   help='training RNG seed (also seeds model init and the loader shuffle)')
+    p.add_argument('--platform', type=str, default=None,
+                   choices=('cpu', 'tpu'),
+                   help='pin the JAX backend (the axon TPU plugin ignores '
+                        'JAX_PLATFORMS, so use this to force CPU)')
     p.add_argument('--set', dest='set_cfgs', default=None, nargs=argparse.REMAINDER)
     return p.parse_args()
 
@@ -73,6 +79,9 @@ def make_logger(log_file):
 def main():
     args = parse_args()
     import jax
+
+    if args.platform:
+        jax.config.update('jax_platforms', args.platform)
     import numpy as np
 
     from epnet_tpu.config import load_config, save_config
@@ -113,13 +122,14 @@ def main():
         rcnn_training_roi_dir=args.rcnn_training_roi_dir,
         rcnn_training_feature_dir=args.rcnn_training_feature_dir)
     loader = DataLoader(dataset, args.batch_size, shuffle=True,
-                        num_workers=args.workers, drop_last=True)
+                        num_workers=args.workers, drop_last=True,
+                        seed=args.seed)
 
     steps_per_epoch = len(loader)
     total_steps = steps_per_epoch * args.epochs
     sample_batch = dataset.collate_batch([dataset[i] for i in range(args.batch_size)])
     state, model, tx = create_train_state(
-        cfg, jax.random.PRNGKey(42), sample_batch, total_steps, steps_per_epoch)
+        cfg, jax.random.PRNGKey(args.seed), sample_batch, total_steps, steps_per_epoch)
 
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(state.params))
     logger.info('model parameters: %.2fM', n_params / 1e6)
@@ -143,7 +153,8 @@ def main():
     tb = SummaryWriter(os.path.join(out_dir, 'tensorboard'))
     trainer = Trainer(cfg, model, tx, state, ckpt_dir=ckpt_dir, mesh=mesh,
                       ckpt_save_interval=args.ckpt_save_interval, logger=logger,
-                      tb_log=tb, steps_per_call=args.steps_per_call)
+                      tb_log=tb, steps_per_call=args.steps_per_call,
+                      seed=args.seed)
 
     eval_fn = eval_loader = None
     if args.train_with_eval:
