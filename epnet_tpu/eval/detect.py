@@ -38,7 +38,15 @@ def make_joint_eval_step(cfg: Config, model: EPNet):
         B = batch['pts_input'].shape[0]
         M = cfg.TEST.RPN_POST_NMS_TOP_N
         rois = out['rois']
-        rcnn_cls = out['rcnn_cls'].reshape(B, M)
+        if out['rcnn_cls'].shape[-1] > 1:
+            # multi-class (People) head: objectness = 1 - P(background),
+            # mapped back to a logit so downstream sigmoid scoring holds
+            prob_fg = 1.0 - jax.nn.softmax(
+                out['rcnn_cls'].reshape(B, M, -1), axis=-1)[..., 0]
+            prob_fg = jnp.clip(prob_fg, 1e-7, 1.0 - 1e-7)
+            rcnn_cls = jnp.log(prob_fg) - jnp.log1p(-prob_fg)
+        else:
+            rcnn_cls = out['rcnn_cls'].reshape(B, M)
         rcnn_reg = out['rcnn_reg'].reshape(B, M, -1)
 
         if cfg.USE_IOU_BRANCH:

@@ -24,7 +24,23 @@ from ..ops.pointops import (
     three_interpolate,
     three_nn,
 )
+from ..ops.sa_fused import fused_point_mlp_max, fused_sa_available
 from .layers import SharedMLP
+
+
+def _shared_mlp_params(mlp: SharedMLP, cin: int, n_layers: int):
+    """Materialize a SharedMLP's Dense params without running it.
+
+    A zero-size-batch dummy call creates the (identically named, identically
+    initialized) params; the raw kernels/biases are then read off the bound
+    child so the fused Pallas path can consume them directly. The dummy
+    matmul is dead code XLA eliminates.
+    """
+    _ = mlp(jnp.zeros((1, 1, cin), jnp.float32))
+    p = mlp.variables['params']
+    return [(p[f'PointwiseConv_{k}']['Dense_0']['kernel'],
+             p[f'PointwiseConv_{k}']['Dense_0']['bias'])
+            for k in range(n_layers)]
 
 
 class SAModuleMSG(nn.Module):
@@ -108,6 +124,33 @@ class SAModuleMSG(nn.Module):
 
         outs = []
         for i, hidden in enumerate(self.mlps):
+            # fused Pallas interior (gather + 3-layer MLP + sample max, all
+            # in VMEM) for the no-BN lane-aligned stages — the RCNN tower
+            # (rcnn_net.py:28-42: USE_BN false, 128/256-wide MLPs). The
+            # SharedMLP is still constructed (same name, same params) so
+            # checkpoints interchange with the unfused path.
+            if (self.npoint is not None and len(hidden) == 3
+                    and fused_sa_available(xyz.shape[1], self.npoint,
+                                           self.nsamples[i], *hidden,
+                                           use_bn=self.bn)):
+                mlp = SharedMLP(hidden, bn=self.bn, dtype=self.dtype)
+                cin = 3 * int(self.use_xyz) + (
+                    0 if gfeats is None else gfeats.shape[-1])
+                (w1, b1), (w2, b2), (w3, b3) = _shared_mlp_params(mlp, cin, 3)
+                cdt = self.dtype or jnp.float32
+                parts = ([xyz.astype(cdt)] if self.use_xyz else [])
+                if gfeats is not None:
+                    parts.append(gfeats.astype(cdt))
+                tbl = jnp.concatenate(parts, -1) if len(parts) > 1 else parts[0]
+                wk = w1.astype(cdt)
+                y = jnp.dot(tbl, wk) + b1.astype(cdt)
+                if self.use_xyz:
+                    o = jnp.dot(new_xyz.astype(cdt), wk[:3])
+                else:
+                    o = jnp.zeros((xyz.shape[0], self.npoint, hidden[0]), cdt)
+                outs.append(fused_point_mlp_max(
+                    y, o, scale_idx[i], w2.astype(cdt), b2, w3.astype(cdt), b3))
+                continue
             if self.npoint is not None:
                 idx = scale_idx[i]
                 if pack:

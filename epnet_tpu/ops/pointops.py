@@ -27,6 +27,21 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+# Global override for the exact-vs-approx neighbour queries (ball_query /
+# three_nn). None -> per-backend default (exact off-TPU, approx_max_k on
+# TPU). Set True/False to force, e.g. for the accuracy ablation in
+# tools/verify_tpu_ops.py. Jitted callers must build fresh closures after
+# flipping it (module state is baked in at trace time).
+EXACT_QUERIES = None
+
+
+def _resolve_exact(exact):
+    if exact is not None:
+        return exact
+    if EXACT_QUERIES is not None:
+        return EXACT_QUERIES
+    return jax.default_backend() != 'tpu'
+
 
 # ---------------------------------------------------------------------------
 # Furthest point sampling
@@ -171,8 +186,7 @@ def ball_query(
     M = new_xyz.shape[1]
     xyz = lax.stop_gradient(xyz)
     new_xyz = lax.stop_gradient(new_xyz)
-    if exact is None:
-        exact = jax.default_backend() != 'tpu'
+    exact = _resolve_exact(exact)
 
     if not exact:
         d2 = _pairwise_d2(new_xyz, xyz)
@@ -221,8 +235,7 @@ def ball_query_multi(radii, nsamples, xyz, new_xyz, exact: bool = None):
     the (B, M, N) distance matrix once halves the dominant HBM traffic of
     the query stage.
     """
-    if exact is None:
-        exact = jax.default_backend() != 'tpu'
+    exact = _resolve_exact(exact)
     if exact:
         return [ball_query(r, s, xyz, new_xyz, exact=True)
                 for r, s in zip(radii, nsamples)]
@@ -258,8 +271,7 @@ def three_nn(
     M = known.shape[1]
     unknown = lax.stop_gradient(unknown)
     known = lax.stop_gradient(known)
-    if exact is None:
-        exact = jax.default_backend() != 'tpu'
+    exact = _resolve_exact(exact)
 
     if not exact:
         d2 = jnp.clip(_pairwise_d2(unknown, known), 0.0, None)

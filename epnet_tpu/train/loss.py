@@ -114,10 +114,21 @@ def rcnn_loss(cfg: Config, out):
 
     fg_mask = (reg_valid_mask > 0).astype(jnp.float32)
     mean_size = jnp.asarray(cfg.CLS_MEAN_SIZE[0], rcnn_reg.dtype)
-    sig = jax.nn.sigmoid(cls_flat)
+    if rcnn_cls.shape[-1] > 1 and cfg.RCNN.LOSS_CLS == 'CrossEntropy':
+        # multi-class head: objectness for the iou-weighted reg loss is
+        # 1 - P(background). (The reference's CE branch would hit an
+        # undefined `rcnn_cls_flat` in train_functions.py:236 — its
+        # multi-class training is unreachable as shipped, so this is the
+        # sensible completion, not a behaviour match.)
+        n_roi = rcnn_cls.shape[0]
+        sig = 1.0 - jax.nn.softmax(
+            rcnn_cls.reshape(n_roi, -1), axis=-1)[:, 0]
+    else:
+        n_roi = cls_flat.shape[0]
+        sig = jax.nn.sigmoid(cls_flat)
     iou_branch_pred = out.get('rcnn_iou_branch')
     loc, angle, size, iou, d = get_reg_loss(
-        sig, mask_score, rcnn_reg.reshape(cls_flat.shape[0], -1), gt_ct.reshape(-1, 7),
+        sig, mask_score, rcnn_reg.reshape(n_roi, -1), gt_ct.reshape(-1, 7),
         fg_mask,
         loc_scope=cfg.RCNN.LOC_SCOPE, loc_bin_size=cfg.RCNN.LOC_BIN_SIZE,
         num_head_bin=cfg.RCNN.NUM_HEAD_BIN, anchor_size=mean_size,

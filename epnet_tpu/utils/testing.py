@@ -121,6 +121,87 @@ def synthetic_batch(rng, cfg, batch=2, with_gt=True):
     return batch_dict
 
 
+def structured_scene(rng, n_points, n_cars=8, img_hw=(384, 1280)):
+    """KITTI-like structured cloud: ground plane + car-surface clusters +
+    wall/pole clutter, with LiDAR-style 1/z density falloff and a consistent
+    pinhole projection for the image stream.
+
+    Uniform random clouds misrepresent the hot ops — NMS early-exit depth,
+    ball-query occupancy and ``approx_max_k`` recall all depend on point
+    *clustering* — so throughput benchmarks use this instead
+    (VERDICT round 1: bench-input realism). Rect-camera frame: x right,
+    y down (ground at y≈1.65), z forward.
+
+    Returns (pts (N,3) f32, pts_xy (N,2) f32 image coords, gt (n_cars,7)).
+    """
+    H, W = img_hw
+    fx = fy = 720.0
+    cx, cy = W / 2.0, H / 2.0 - 12.0
+
+    def inv_z(n, lo=1.5, hi=69.0):
+        # p(z) ~ 1/z  (LiDAR rings thin out with range)
+        u = rng.rand(n)
+        return lo * (hi / lo) ** u
+
+    n_ground = int(n_points * 0.50)
+    n_car = int(n_points * 0.30)
+    n_clutter = n_points - n_ground - n_car
+
+    # ground plane with mild undulation
+    zg = inv_z(n_ground)
+    xg = rng.uniform(-0.45, 0.45, n_ground) * zg  # stay in the camera frustum
+    yg = 1.65 + 0.03 * np.sin(zg) + rng.randn(n_ground) * 0.02
+    ground = np.stack([xg, yg, zg], axis=-1)
+
+    # cars: points on the surfaces of oriented boxes
+    gt = np.zeros((n_cars, 7), np.float32)
+    gt[:, 2] = np.sort(inv_z(n_cars, 6.0, 60.0))             # z
+    gt[:, 0] = rng.uniform(-0.35, 0.35, n_cars) * gt[:, 2]   # x
+    gt[:, 1] = 1.65                                          # y (bottom)
+    gt[:, 3] = rng.uniform(1.4, 1.7, n_cars)                 # h
+    gt[:, 4] = rng.uniform(1.5, 1.7, n_cars)                 # w
+    gt[:, 5] = rng.uniform(3.5, 4.2, n_cars)                 # l
+    gt[:, 6] = rng.uniform(-np.pi, np.pi, n_cars)
+    # nearer cars get more returns
+    w_car = 1.0 / gt[:, 2]
+    counts = rng.multinomial(n_car, w_car / w_car.sum())
+    car_pts = []
+    for g, cnt in zip(gt, counts):
+        if cnt == 0:
+            continue
+        face = rng.randint(0, 3, cnt)  # 0: side, 1: front/back, 2: roof
+        u, v = rng.rand(cnt) - 0.5, rng.rand(cnt) - 0.5
+        lx = np.where(face == 1, np.sign(u) * 0.5, u) * g[5]
+        lz = np.where(face == 0, np.sign(v) * 0.5, v) * g[4]
+        ly = np.where(face == 2, -1.0, -rng.rand(cnt)) * g[3]
+        c, s = np.cos(g[6]), np.sin(g[6])
+        px = c * lx + s * lz + g[0]
+        pz = -s * lx + c * lz + g[2]
+        py = ly + g[1]
+        car_pts.append(np.stack([px, py, pz], axis=-1)
+                       + rng.randn(cnt, 3) * 0.015)
+    cars = np.concatenate(car_pts, axis=0) if car_pts else np.zeros((0, 3))
+    pad = n_car - len(cars)
+    if pad > 0:
+        cars = np.concatenate([cars, ground[:pad]], axis=0)
+
+    # clutter: vertical poles/walls at the frustum edges
+    zc = inv_z(n_clutter, 3.0, 69.0)
+    side = np.sign(rng.randn(n_clutter))
+    xc = side * (0.40 + 0.05 * rng.rand(n_clutter)) * zc
+    yc = 1.65 - rng.rand(n_clutter) * 3.0
+    clutter = np.stack([xc, yc, zc], axis=-1)
+
+    pts = np.concatenate([ground, cars, clutter], axis=0).astype(np.float32)
+    rng.shuffle(pts)  # the loader feeds shuffled clouds
+
+    u = fx * pts[:, 0] / pts[:, 2] + cx
+    v = fy * pts[:, 1] / pts[:, 2] + cy
+    pts_xy = np.stack([np.clip(u, 0, W - 1), np.clip(v, 0, H - 1)],
+                      axis=-1).astype(np.float32)
+    return pts, pts_xy, gt
+
+
 # ---------------------------------------------------------------------------
 # Synthetic on-disk KITTI mini-dataset (for pipeline tests without real data)
 # ---------------------------------------------------------------------------

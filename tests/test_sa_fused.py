@@ -1,0 +1,145 @@
+"""Oracle tests for the fused SA interior (gather + MLP + sample-max).
+
+The oracle is the unfused composition the kernel replaces
+(rcnn_net.py:189-192 semantics): ``max_s relu(relu(relu(y[idx]-o) @ w2 + b2)
+@ w3 + b3)``. Runs in Pallas interpreter mode off-TPU (tests/conftest pins
+the CPU backend).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from epnet_tpu.ops.sa_fused import fused_point_mlp_max
+
+
+def _oracle(y, o, idx, w2, b2, w3, b3):
+    g = jnp.take_along_axis(y, idx.reshape(idx.shape[0], -1, 1), axis=1)
+    g = g.reshape(*idx.shape, y.shape[-1]).astype(jnp.float32)
+    h1 = jnp.maximum(g - o[:, :, None, :].astype(jnp.float32), 0.0)
+    h2 = jnp.maximum(jnp.einsum('tmsc,cd->tmsd', h1, w2) + b2, 0.0)
+    h3 = jnp.maximum(jnp.einsum('tmsc,cd->tmsd', h2, w3) + b3, 0.0)
+    return jnp.max(h3, axis=2)
+
+
+def _inputs(rng, T=3, N=128, M=16, S=8, C1=128, C2=128, C3=128,
+            dtype=jnp.float32):
+    y = jnp.asarray(rng.randn(T, N, C1), dtype)
+    o = jnp.asarray(rng.randn(T, M, C1) * 0.1, dtype)
+    idx = jnp.asarray(rng.randint(0, N, (T, M, S)), jnp.int32)
+    w2 = jnp.asarray(rng.randn(C1, C2) / np.sqrt(C1), jnp.float32)
+    b2 = jnp.asarray(rng.randn(C2) * 0.01, jnp.float32)
+    w3 = jnp.asarray(rng.randn(C2, C3) / np.sqrt(C2), jnp.float32)
+    b3 = jnp.asarray(rng.randn(C3) * 0.01, jnp.float32)
+    return y, o, idx, w2, b2, w3, b3
+
+
+def test_forward_f32_matches_oracle():
+    rng = np.random.RandomState(0)
+    args = _inputs(rng)
+    got = fused_point_mlp_max(*args)
+    want = _oracle(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_forward_bf16_close_to_f32_oracle():
+    rng = np.random.RandomState(1)
+    y, o, idx, w2, b2, w3, b3 = _inputs(rng)
+    got = fused_point_mlp_max(y.astype(jnp.bfloat16), o.astype(jnp.bfloat16),
+                              idx, w2.astype(jnp.bfloat16), b2,
+                              w3.astype(jnp.bfloat16), b3)
+    want = _oracle(y, o, idx, w2, b2, w3, b3)
+    err = np.abs(np.asarray(got, np.float32) - np.asarray(want))
+    scale = np.abs(np.asarray(want)).max()
+    assert err.max() / scale < 0.05, err.max() / scale
+
+
+def test_forward_duplicate_and_padded_indices():
+    # ball_query pads short balls by repeating the first hit; duplicates and
+    # all-identical rows must not perturb the max
+    rng = np.random.RandomState(2)
+    y, o, idx, w2, b2, w3, b3 = _inputs(rng, T=2, M=8, S=8)
+    idx = idx.at[:, 0, :].set(5)   # fully padded ball
+    idx = idx.at[:, 1, 1:].set(idx[:, 1, 0:1])
+    got = fused_point_mlp_max(y, o, idx, w2, b2, w3, b3)
+    want = _oracle(y, o, idx, w2, b2, w3, b3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gradients_match_oracle():
+    rng = np.random.RandomState(3)
+    y, o, idx, w2, b2, w3, b3 = _inputs(rng, T=2, N=128, M=8, S=8)
+
+    def loss_fused(y, o, w2, b2, w3, b3):
+        out = fused_point_mlp_max(y, o, idx, w2, b2, w3, b3)
+        return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+
+    def loss_oracle(y, o, w2, b2, w3, b3):
+        out = _oracle(y, o, idx, w2, b2, w3, b3)
+        return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4, 5))(y, o, w2, b2, w3, b3)
+    go = jax.grad(loss_oracle, argnums=(0, 1, 2, 3, 4, 5))(y, o, w2, b2, w3, b3)
+    for a, b, name in zip(gf, go, ['dy', 'do', 'dw2', 'db2', 'dw3', 'db3']):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_multi_tile_grid():
+    # M large enough to need several m-tiles per roi (exercises dy/dw
+    # accumulation across grid steps)
+    rng = np.random.RandomState(4)
+    y, o, idx, w2, b2, w3, b3 = _inputs(rng, T=2, N=256, M=64, S=64)
+    got = fused_point_mlp_max(y, o, idx, w2, b2, w3, b3)
+    want = _oracle(y, o, idx, w2, b2, w3, b3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss(y):
+        return jnp.sum(fused_point_mlp_max(y, o, idx, w2, b2, w3, b3) ** 2)
+
+    def loss_o(y):
+        return jnp.sum(_oracle(y, o, idx, w2, b2, w3, b3) ** 2)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(loss)(y)),
+                               np.asarray(jax.grad(loss_o)(y)),
+                               rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize('use_xyz', [True, False])
+def test_sa_module_fused_matches_unfused(monkeypatch, use_xyz):
+    """SAModuleMSG with the fused path forced on must match the unfused
+    module bit-for-bit in param structure and closely in value."""
+    import epnet_tpu.models.pointnet2 as p2
+    import epnet_tpu.ops.sa_fused as sf
+    from epnet_tpu.models.pointnet2 import SAModuleMSG
+
+    rng = np.random.RandomState(5)
+    B, N, C = 2, 128, 128
+    xyz = jnp.asarray(rng.randn(B, N, 3), jnp.float32)
+    feats = jnp.asarray(rng.randn(B, N, C), jnp.float32)
+
+    mod = SAModuleMSG(npoint=16, radii=(0.8,), nsamples=(8,),
+                      mlps=((128, 128, 128),), use_xyz=use_xyz, bn=False)
+
+    monkeypatch.setattr(p2, 'fused_sa_available', lambda *a, **k: False)
+    v = mod.init(jax.random.PRNGKey(0), xyz, feats)
+    ref_xyz, ref_feats, ref_idx = mod.apply(v, xyz, feats)
+
+    monkeypatch.setattr(p2, 'fused_sa_available', lambda *a, **k: True)
+    v2 = mod.init(jax.random.PRNGKey(0), xyz, feats)
+    # identical param trees (names AND values) between the two paths
+    ta = jax.tree_util.tree_structure(v)
+    tb = jax.tree_util.tree_structure(v2)
+    assert ta == tb
+    for a, b in zip(jax.tree_util.tree_leaves(v), jax.tree_util.tree_leaves(v2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    got_xyz, got_feats, got_idx = mod.apply(v, xyz, feats)
+    np.testing.assert_array_equal(np.asarray(ref_xyz), np.asarray(got_xyz))
+    np.testing.assert_array_equal(np.asarray(ref_idx), np.asarray(got_idx))
+    np.testing.assert_allclose(np.asarray(ref_feats), np.asarray(got_feats),
+                               rtol=1e-4, atol=1e-4)
