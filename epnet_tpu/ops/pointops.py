@@ -73,10 +73,18 @@ def furthest_point_sample_xla(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
 
 
 def furthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
-    """Public FPS entry point: Pallas kernel on TPU, XLA loop elsewhere."""
+    """Public FPS entry point, dispatched by shape.
+
+    The Pallas kernel keeps the whole distance field in VMEM but serializes
+    its grid, so it wins for few large clouds (RPN: 8x16384 -> 13 vs 146 ms
+    on v5e); the XLA recurrence vectorizes each iteration across the batch,
+    so it wins for many small clouds (RCNN rois: 800x512 -> 3.6 vs 37 ms).
+    Crossover measured in tools/profile_fps_variants.py.
+    """
     from . import fps_pallas
 
-    if fps_pallas.available() and xyz.shape[1] % 128 == 0:
+    B, N = xyz.shape[0], xyz.shape[1]
+    if fps_pallas.available() and N % 128 == 0 and N >= 4096 and B <= 64:
         return fps_pallas.furthest_point_sample_pallas(xyz, npoint)
     return furthest_point_sample_xla(xyz, npoint)
 

@@ -129,7 +129,7 @@ def _fused_fwd_impl(y, o, idx, w2, b2, w3, b3, tile_m, interpret, out_dtype):
     _, M, S = idx.shape
     C2 = w2.shape[-1]
     C3 = w3.shape[-1]
-    TM = tile_m or _pick_tile_m(M, S)
+    TM = tile_m or _pick_tile_m(M, S, cap=4096)
     assert M % TM == 0, (M, TM)
     n_splits = 1 if y.dtype == jnp.bfloat16 else 3
     out_dtype = out_dtype or y.dtype
