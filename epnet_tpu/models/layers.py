@@ -26,6 +26,17 @@ def kaiming_normal():
     return nn.initializers.variance_scaling(2.0, 'fan_in', 'truncated_normal')
 
 
+# Trace-time global emulating the reference's BatchNorm semantics under
+# torch.nn.DataParallel (train_rcnn.py:221-222): each replica normalizes its
+# own batch/n_gpus slice with *local* statistics and the surviving running
+# stats are device 0's. Under GSPMD our BN reductions are global-batch by
+# default (a deliberate, usually-better deviation); setting this to the
+# emulated device count reproduces the reference's per-device behaviour for
+# the A/B ablation in tools/bn_stats_ablation.py. Jit-static: rebuild jitted
+# closures after flipping it (same pattern as ops.pointops.EXACT_QUERIES).
+BN_STAT_GROUPS = 1
+
+
 class BatchNorm(nn.Module):
     """Torch-semantics batch norm with runtime momentum.
 
@@ -46,6 +57,27 @@ class BatchNorm(nn.Module):
         scale = self.param('scale', nn.initializers.ones, (C,))
         bias = self.param('bias', nn.initializers.zeros, (C,))
 
+        g = BN_STAT_GROUPS if not self.is_initializing() else 1
+        if train and g > 1 and x.shape[0] % g == 0:
+            # per-device-stats emulation: normalize each batch group with its
+            # own statistics; running stats track group 0 (torch DataParallel
+            # keeps the device-0 module's buffers).
+            B = x.shape[0]
+            xg = x.reshape(g, B // g, *x.shape[1:])
+            red = tuple(range(1, xg.ndim - 1))
+            mean = jnp.mean(xg, axis=red)                       # (g, C)
+            bshape = (g,) + (1,) * (xg.ndim - 2) + (C,)
+            var = jnp.mean(jnp.square(xg - mean.reshape(bshape)), axis=red)
+            n = B // g
+            for d in red[1:]:
+                n *= xg.shape[d]
+            unbiased = var * (n / max(n - 1, 1))
+            m = jnp.asarray(momentum, jnp.float32)
+            ra_mean.value = (1 - m) * ra_mean.value + m * mean[0].astype(jnp.float32)
+            ra_var.value = (1 - m) * ra_var.value + m * unbiased[0].astype(jnp.float32)
+            inv = jax.lax.rsqrt(var.reshape(bshape).astype(x.dtype) + self.eps)
+            out = (xg - mean.reshape(bshape).astype(x.dtype)) * inv
+            return out.reshape(x.shape) * scale + bias
         if train:
             red = tuple(range(x.ndim - 1))
             mean = jnp.mean(x, axis=red)

@@ -78,9 +78,14 @@ def _fps_kernel(xs_ref, ys_ref, zs_ref, out_ref, mind_ref, idx_ref, *,
     out_ref[:] = idx_ref[:]
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def furthest_point_sample_pallas(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
-    """(B, N, 3) -> (B, npoint) int32; N must be a multiple of 128."""
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def furthest_point_sample_pallas(xyz: jnp.ndarray, npoint: int,
+                                 pair: int = 0) -> jnp.ndarray:
+    """(B, N, 3) -> (B, npoint) int32; N must be a multiple of 128.
+
+    ``pair`` = batch elements interleaved per grid step (0 = auto); their
+    independent reduction chains overlap in the VPU issue pipeline.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -88,7 +93,7 @@ def furthest_point_sample_pallas(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
     assert N % _LANE == 0, f'FPS kernel needs N % {_LANE} == 0, got {N}'
     rows = N // _LANE
     P = max(_LANE, ((npoint + _SUB - 1) // _SUB + _LANE - 1) // _LANE * _LANE)
-    pair = next(p for p in (4, 2, 1) if B % p == 0)
+    pair = pair or next(p for p in (8, 4, 2, 1) if B % p == 0)
     xyz = lax.stop_gradient(xyz).astype(jnp.float32)
     planes = xyz.transpose(2, 0, 1).reshape(3, B, rows, _LANE)
 

@@ -197,8 +197,9 @@ def ball_query(
     exact = _resolve_exact(exact)
 
     if not exact:
-        d2 = _pairwise_d2(new_xyz, xyz)
-        return _ball_from_d2_approx(d2, radius, nsample)
+        inv = jnp.float32(1.0 / radius)
+        d2n = _pairwise_d2(new_xyz * inv, xyz * inv)  # fused into bf16 keys
+        return _ball_from_d2_approx(d2n, 1.0, nsample, key_dtype=jnp.bfloat16)
 
     def block(centroids):  # (B, c, 3) -> (B, c, nsample)
         d2 = jnp.sum((centroids[:, :, None, :] - xyz[:, None, :, :]) ** 2, axis=-1)
@@ -221,14 +222,23 @@ def ball_query(
     return jnp.moveaxis(out, 0, 1).reshape(B, M, nsample)
 
 
-def _ball_from_d2_approx(d2: jnp.ndarray, radius: float, nsample: int) -> jnp.ndarray:
-    """approx_max_k first-hit selection from a precomputed (B, M, N) d2."""
+def _ball_from_d2_approx(d2: jnp.ndarray, radius: float, nsample: int,
+                         key_dtype=jnp.float32) -> jnp.ndarray:
+    """approx_max_k first-hit selection from a precomputed (B, M, N) d2.
+
+    With ``key_dtype=bfloat16`` the materialized key tensor halves and the
+    radius test stays exact (it runs on the f32 ``d2`` before the cast); only
+    the -iota tie-break keys round, which biases *which* in-radius points a
+    >nsample ball keeps — order-invariant for the downstream sample-max.
+    The -2N empty sentinel is a power of two, exact in bf16 up to N=2^14.
+    """
     N = d2.shape[-1]
     mask = d2 < radius * radius
-    keys = jnp.where(mask, -jnp.arange(N, dtype=jnp.float32), -2.0 * N)
+    iota = -jnp.arange(N, dtype=jnp.float32).astype(key_dtype)
+    keys = jnp.where(mask, iota, jnp.asarray(-2.0 * N, key_dtype))
     v, idx = lax.approx_max_k(keys, nsample, recall_target=0.95)
     idx = idx.astype(jnp.int32)
-    valid = v > -2.0 * N
+    valid = v.astype(jnp.float32) > -2.0 * N
     cnt = jnp.sum(valid, axis=-1)
     first = idx[..., 0:1]
     idx = jnp.where(valid, idx, first)
@@ -236,19 +246,49 @@ def _ball_from_d2_approx(d2: jnp.ndarray, radius: float, nsample: int) -> jnp.nd
 
 
 def ball_query_multi(radii, nsamples, xyz, new_xyz, exact: bool = None):
-    """Multi-scale ball query sharing ONE distance field.
+    """Multi-scale ball query with per-scale fused distance fields.
 
     MSG set abstraction queries several radii around the SAME centroids
-    (pointnet2_modules.py:96-103 builds one grouper per radius); computing
-    the (B, M, N) distance matrix once halves the dominant HBM traffic of
-    the query stage.
+    (pointnet2_modules.py:96-103 builds one grouper per radius). The query
+    stage is HBM-bound on the (B, M, N) field, so the layout matters more
+    than the FLOPs: recomputing the distance matmul per scale (the FLOPs are
+    ~1000x below the bytes at RPN shapes) lets XLA fuse each scale's radius
+    test + key build into its own matmul epilogue, so the only (B, M, N)
+    tensor that ever reaches HBM is the *bf16* key field — 4x fewer bytes
+    than one shared f32 field read by every scale. Coordinates are
+    pre-scaled by 1/radius per scale (radius test becomes d2' < 1), which
+    keeps the per-scale dots distinct so XLA's CSE cannot re-share the
+    field. Measured 25.7 -> ~7 ms at the (8, 4096, 16384) 2-scale RPN sa0
+    shape on v5e (tools/profile_ballq_variants.py).
     """
     exact = _resolve_exact(exact)
     if exact:
         return [ball_query(r, s, xyz, new_xyz, exact=True)
                 for r, s in zip(radii, nsamples)]
-    d2 = _pairwise_d2(lax.stop_gradient(new_xyz), lax.stop_gradient(xyz))
-    return [_ball_from_d2_approx(d2, r, s) for r, s in zip(radii, nsamples)]
+    xyz = lax.stop_gradient(xyz)
+    new_xyz = lax.stop_gradient(new_xyz)
+    B, N = xyz.shape[0], xyz.shape[1]
+    M = new_xyz.shape[1]
+    # bound the live key field to ~64M elements: at RPN sa0 shapes the
+    # blocked approx_max_k runs ~1.5x faster again than one monolithic call
+    # (7.2 vs 10.4 ms measured, tools/profile_ballq_variants.py)
+    ch = _chunk_size(M, (64 * 1024 * 1024) // max(B * N, 1))
+    outs = []
+    for r, s in zip(radii, nsamples):
+        inv = jnp.float32(1.0 / r)
+        xs, cs = xyz * inv, new_xyz * inv
+        if ch == M:
+            d2n = _pairwise_d2(cs, xs)  # = d2 / r^2
+            outs.append(_ball_from_d2_approx(d2n, 1.0, s,
+                                             key_dtype=jnp.bfloat16))
+        else:
+            def blk(cen_blk, _xs=xs, _s=s):
+                return _ball_from_d2_approx(_pairwise_d2(cen_blk, _xs), 1.0,
+                                            _s, key_dtype=jnp.bfloat16)
+            chunks = jnp.moveaxis(cs.reshape(B, M // ch, ch, 3), 1, 0)
+            out = lax.map(blk, chunks)  # (M//ch, B, ch, s)
+            outs.append(jnp.moveaxis(out, 0, 1).reshape(B, M, s))
+    return outs
 
 
 # ---------------------------------------------------------------------------

@@ -75,34 +75,60 @@ def tiny_config(li_fusion=True, rcnn=True, **over) -> Config:
 IMG_H, IMG_W = 32, 64
 
 
-def synthetic_batch(rng, cfg, batch=2, with_gt=True):
-    """Random scene: points in front of a 'camera', a couple of gt cars."""
+def synthetic_batch(rng, cfg, batch=2, with_gt=True, structured=False):
+    """Random scene: points in front of a 'camera', a couple of gt cars.
+
+    ``structured=True`` swaps the uniform cloud for a structured one
+    (ground plane + points ON the gt car surfaces + clutter) so an overfit
+    run has real localization signal — the dense-synthetic accuracy
+    evidence of VERDICT r1 item 4a.
+    """
     N = cfg.RPN.NUM_POINTS
-    pts = np.stack([
-        rng.uniform(-20, 20, (batch, N)),
-        rng.uniform(-1, 2, (batch, N)),
-        rng.uniform(1, 69, (batch, N)),
-    ], axis=-1).astype(np.float32)
-    batch_dict = {
-        'pts_input': pts,
-        'img': rng.rand(batch, IMG_H, IMG_W, 3).astype(np.float32),
-        'pts_origin_xy': np.stack([
-            rng.uniform(0, 1279, (batch, N)),
-            rng.uniform(0, 383, (batch, N)),
-        ], axis=-1).astype(np.float32),
-    }
-    if with_gt:
-        G = 3
-        gt = np.stack([
-            rng.uniform(-15, 15, (batch, G)),
-            rng.uniform(0.8, 1.6, (batch, G)),
-            rng.uniform(5, 60, (batch, G)),
-            rng.uniform(1.4, 1.7, (batch, G)),
-            rng.uniform(1.5, 1.7, (batch, G)),
-            rng.uniform(3.5, 4.2, (batch, G)),
-            rng.uniform(-np.pi, np.pi, (batch, G)),
+    G = 3
+    if structured:
+        pts_l, xy_l, gt_l = [], [], []
+        for _ in range(batch):
+            p, u, g = structured_scene(rng, N, n_cars=G, img_hw=(IMG_H, IMG_W),
+                                       z_range=(1.5, 25.0),
+                                       car_z_range=(5.0, 16.0))
+            pts_l.append(p)
+            xy_l.append(u)
+            gt_l.append(g)
+        pts = np.stack(pts_l, axis=0)
+        gt = np.stack(gt_l, axis=0)
+        batch_dict = {
+            'pts_input': pts,
+            'img': rng.rand(batch, IMG_H, IMG_W, 3).astype(np.float32),
+            'pts_origin_xy': np.stack(xy_l, axis=0),
+        }
+        if with_gt:
+            batch_dict['gt_boxes3d'] = gt
+    else:
+        pts = np.stack([
+            rng.uniform(-20, 20, (batch, N)),
+            rng.uniform(-1, 2, (batch, N)),
+            rng.uniform(1, 69, (batch, N)),
         ], axis=-1).astype(np.float32)
-        batch_dict['gt_boxes3d'] = gt
+        batch_dict = {
+            'pts_input': pts,
+            'img': rng.rand(batch, IMG_H, IMG_W, 3).astype(np.float32),
+            'pts_origin_xy': np.stack([
+                rng.uniform(0, 1279, (batch, N)),
+                rng.uniform(0, 383, (batch, N)),
+            ], axis=-1).astype(np.float32),
+        }
+        if with_gt:
+            gt = np.stack([
+                rng.uniform(-15, 15, (batch, G)),
+                rng.uniform(0.8, 1.6, (batch, G)),
+                rng.uniform(5, 60, (batch, G)),
+                rng.uniform(1.4, 1.7, (batch, G)),
+                rng.uniform(1.5, 1.7, (batch, G)),
+                rng.uniform(3.5, 4.2, (batch, G)),
+                rng.uniform(-np.pi, np.pi, (batch, G)),
+            ], axis=-1).astype(np.float32)
+            batch_dict['gt_boxes3d'] = gt
+    if with_gt:
         # simple per-point labels: fg if inside any gt. Host-side numpy box
         # test (data/box_np.py) so batch synthesis never touches a device —
         # the multi-chip dryrun must be able to build batches before/without
@@ -116,12 +142,17 @@ def synthetic_batch(rng, cfg, batch=2, with_gt=True):
         gi = inb.argmax(axis=1)  # (B, N)
         gsel = np.take_along_axis(gt, gi[..., None], axis=1)  # (B, N, 7)
         reg = gsel.copy()
+        # the y regression target is the box's true vertical CENTER, not the
+        # KITTI bottom-face y (data/kitti_rcnn_dataset.py:204-206); the
+        # proposal layer shifts decoded boxes back down by h/2
+        reg[..., 1] -= reg[..., 3] / 2
         reg[..., 0:3] -= pts
         batch_dict['rpn_reg_label'] = reg.astype(np.float32)
     return batch_dict
 
 
-def structured_scene(rng, n_points, n_cars=8, img_hw=(384, 1280)):
+def structured_scene(rng, n_points, n_cars=8, img_hw=(384, 1280),
+                     z_range=(1.5, 69.0), car_z_range=(6.0, 60.0)):
     """KITTI-like structured cloud: ground plane + car-surface clusters +
     wall/pole clutter, with LiDAR-style 1/z density falloff and a consistent
     pinhole projection for the image stream.
@@ -135,10 +166,10 @@ def structured_scene(rng, n_points, n_cars=8, img_hw=(384, 1280)):
     Returns (pts (N,3) f32, pts_xy (N,2) f32 image coords, gt (n_cars,7)).
     """
     H, W = img_hw
-    fx = fy = 720.0
-    cx, cy = W / 2.0, H / 2.0 - 12.0
+    fx = fy = 0.5625 * W  # KITTI-ish focal (720 px at W=1280), scale-free
+    cx, cy = W / 2.0, H / 2.0 - H / 32.0
 
-    def inv_z(n, lo=1.5, hi=69.0):
+    def inv_z(n, lo=z_range[0], hi=z_range[1]):
         # p(z) ~ 1/z  (LiDAR rings thin out with range)
         u = rng.rand(n)
         return lo * (hi / lo) ** u
@@ -155,7 +186,7 @@ def structured_scene(rng, n_points, n_cars=8, img_hw=(384, 1280)):
 
     # cars: points on the surfaces of oriented boxes
     gt = np.zeros((n_cars, 7), np.float32)
-    gt[:, 2] = np.sort(inv_z(n_cars, 6.0, 60.0))             # z
+    gt[:, 2] = np.sort(inv_z(n_cars, *car_z_range))          # z
     gt[:, 0] = rng.uniform(-0.35, 0.35, n_cars) * gt[:, 2]   # x
     gt[:, 1] = 1.65                                          # y (bottom)
     gt[:, 3] = rng.uniform(1.4, 1.7, n_cars)                 # h
@@ -186,7 +217,7 @@ def structured_scene(rng, n_points, n_cars=8, img_hw=(384, 1280)):
         cars = np.concatenate([cars, ground[:pad]], axis=0)
 
     # clutter: vertical poles/walls at the frustum edges
-    zc = inv_z(n_clutter, 3.0, 69.0)
+    zc = inv_z(n_clutter, min(3.0, z_range[1] / 2), z_range[1])
     side = np.sign(rng.randn(n_clutter))
     xc = side * (0.40 + 0.05 * rng.rand(n_clutter)) * zc
     yc = 1.65 - rng.rand(n_clutter) * 3.0

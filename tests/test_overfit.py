@@ -1,6 +1,15 @@
-"""Synthetic-scene overfit: train the tiny two-stage model on one fixed
-batch and verify the full inference path (backbone -> proposals -> rcnn ->
-decode -> NMS) localizes the ground truth (SURVEY.md §4 test pyramid (c)).
+"""Structured-scene overfit: train the tiny two-stage model on one fixed
+batch of scenes with points ON the gt car surfaces and verify the full
+inference path (backbone -> proposals -> rcnn -> decode -> NMS) localizes
+EVERY gt car with real IoU (SURVEY.md §4 test pyramid (c); VERDICT r1 item
+4a raised the bar from max-IoU>0.1 on uniform noise to per-gt IoU>0.6 here
+— measured headroom: 0.80-0.93 per gt, proposals 0.91-0.99).
+
+This bar is sharp: a half-height y-offset anywhere in the decode chain
+caps 3D IoU at ~0.4 (it did, when the fixture mislabeled y at the box
+bottom instead of the true vertical center) and starves the RCNN stage of
+foreground rois entirely (proposal-gt IoU never reaches the 0.55 fg
+threshold), which this test now also pins via tb['rcnn_reg_fg'] > 0.
 """
 
 import jax
@@ -17,38 +26,39 @@ from tiny import synthetic_batch, tiny_config
 
 
 @pytest.mark.slow
-def test_overfit_single_batch():
+def test_overfit_single_batch_structured():
     cfg = tiny_config().merged({
         'TRAIN': {'LR': 0.02, 'RPN_PRE_NMS_TOP_N': 128, 'RPN_POST_NMS_TOP_N': 32},
         'RPN': {'DP_RATIO': 0.0},
     })
     rng = np.random.RandomState(11)
-    batch = synthetic_batch(rng, cfg, batch=2)
-    # densify: put many points on each gt box so the detector has signal
+    batch = synthetic_batch(rng, cfg, batch=2, structured=True)
     state, model, tx = create_train_state(cfg, jax.random.PRNGKey(0), batch,
-                                          total_steps=150)
+                                          total_steps=300)
     step = jit_train_step(cfg, model, tx)
     key = jax.random.PRNGKey(3)
     first_loss = last_loss = None
-    for i in range(150):
+    for i in range(300):
         state, tb = step(state, batch, key, jnp.float32(0.1))
         if i == 0:
             first_loss = float(tb['loss'])
         last_loss = float(tb['loss'])
     assert np.isfinite(last_loss)
-    assert last_loss < first_loss * 0.7, (first_loss, last_loss)
+    assert last_loss < first_loss * 0.5, (first_loss, last_loss)
+    # the RCNN stage must be training on real foreground rois
+    assert float(tb['rcnn_reg_fg']) > 0, dict(tb)
 
-    # inference: the best detections should overlap the gt
+    # inference: EVERY gt car must be localized by some top-10 detection
     eval_model = EPNet(cfg, mode='TEST')
     eval_step = make_joint_eval_step(cfg, eval_model)
     variables = {'params': state.params, 'batch_stats': state.batch_stats}
     res = jax.device_get(eval_step(variables, batch))
-    got_iou = []
+    per_gt = []
     for b in range(2):
         gt = batch['gt_boxes3d'][b]
         order = np.argsort(-res['norm_scores'][b])
         top = res['pred_boxes3d'][b][order[:10]]
         iou = np.asarray(boxes_iou3d(jnp.asarray(top), jnp.asarray(gt)))
-        got_iou.append(iou.max())
-    # the tiny random scene is hard; expect at least loose localization
-    assert max(got_iou) > 0.1, got_iou
+        per_gt.extend(iou.max(axis=0).tolist())  # best detection per gt
+    assert min(per_gt) > 0.6, per_gt
+    assert max(per_gt) > 0.8, per_gt

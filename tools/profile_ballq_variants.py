@@ -119,6 +119,16 @@ def main():
 
     scan_time('chunked(512) unshared, bf16 keys', chunked_bf16, pX, xyz, cen)
 
+    # the shipped implementation: per-scale 1/r-prescaled dots (CSE-proof)
+    # fused into bf16 key fields
+    from epnet_tpu.ops.pointops import ball_query_multi
+
+    def shipped(x, c):
+        idxs = ball_query_multi(RADII, NS, x, c, exact=False)
+        return sum(jnp.sum(i.astype(jnp.float32)) for i in idxs)
+
+    scan_time('shipped ball_query_multi', shipped, pX, xyz, cen)
+
 
 if __name__ == '__main__':
     main()

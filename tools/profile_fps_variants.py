@@ -65,6 +65,12 @@ def main():
     scan_time('fps XLA 16384->4096 x8',
               lambda x: jnp.sum(furthest_point_sample_xla(x, 4096).astype(jnp.float32)),
               pX, big)
+    for pr in (2, 4, 8):
+        scan_time(f'fps pallas 16384->4096 x8 pair={pr}',
+                  lambda x, _p=pr: jnp.sum(
+                      furthest_point_sample_pallas(x, 4096, _p)
+                      .astype(jnp.float32)),
+                  pX, big)
 
     # fused kernel tile sweep
     T, N, M, S, C = 800, 512, 128, 64, 128
