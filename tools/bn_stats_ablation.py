@@ -18,8 +18,10 @@ sys.path.insert(0, os.path.join(
 
 import jax
 
-if jax.default_backend() != 'tpu':
-    jax.config.update('jax_platforms', 'cpu')
+# Pin CPU before anything initializes a backend: the question here is
+# statistics, not speed, and jax.default_backend() would already boot the
+# (slow, tunnelled) axon TPU plugin just to ask.
+jax.config.update('jax_platforms', 'cpu')
 
 import jax.numpy as jnp
 import numpy as np
