@@ -98,7 +98,18 @@ class FusionConv(nn.Module):
 
 class DeConvUp(nn.Module):
     """Transposed-conv upsample head bringing one image scale to full
-    resolution (pointnet2_msg.py:170-172)."""
+    resolution (pointnet2_msg.py:170-172).
+
+    The reference uses ConvTranspose2d with kernel == stride, so output
+    blocks never overlap: each input pixel independently projects to a
+    (k, k, features) block. Expressed as ``nn.ConvTranspose`` XLA lowers
+    this into pathological pad/dynamic-slice pyramids (~45 GB of counted
+    HBM traffic in the B4 train step at the 16x16 scale); the equivalent
+    per-pixel matmul + depth-to-space below is one MXU op and two cheap
+    reshuffles. Same parameter shapes/init as ConvTranspose ((k, k, Cin,
+    Cout) kernel + (Cout,) bias), different param names than round-1
+    checkpoints (ConvTranspose_0/* -> kernel/bias).
+    """
 
     features: int
     kernel: int
@@ -106,6 +117,16 @@ class DeConvUp(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.ConvTranspose(self.features, (self.kernel, self.kernel),
-                                strides=(self.kernel, self.kernel),
-                                kernel_init=kaiming_normal(), dtype=self.dtype)(x)
+        k = self.kernel
+        B, h, w, C = x.shape
+        kern = self.param('kernel', kaiming_normal(),
+                          (k, k, C, self.features))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        dt = self.dtype or x.dtype
+        wm = kern.astype(dt).transpose(2, 0, 1, 3).reshape(
+            C, k * k * self.features)
+        y = x.astype(dt) @ wm                      # (B, h, w, k*k*F)
+        y = y.reshape(B, h, w, k, k, self.features)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, h * k, w * k,
+                                                  self.features)
+        return y + bias.astype(dt)

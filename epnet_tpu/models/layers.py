@@ -51,6 +51,7 @@ class BatchNorm(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool, momentum=0.1):
         C = x.shape[-1]
+        in_dtype = x.dtype
         x = x.astype(jnp.float32)  # stats and normalization always in f32
         ra_mean = self.variable('batch_stats', 'mean', lambda: jnp.zeros(C, jnp.float32))
         ra_var = self.variable('batch_stats', 'var', lambda: jnp.ones(C, jnp.float32))
@@ -77,7 +78,7 @@ class BatchNorm(nn.Module):
             ra_var.value = (1 - m) * ra_var.value + m * unbiased[0].astype(jnp.float32)
             inv = jax.lax.rsqrt(var.reshape(bshape).astype(x.dtype) + self.eps)
             out = (xg - mean.reshape(bshape).astype(x.dtype)) * inv
-            return out.reshape(x.shape) * scale + bias
+            return (out.reshape(x.shape) * scale + bias).astype(in_dtype)
         if train:
             red = tuple(range(x.ndim - 1))
             mean = jnp.mean(x, axis=red)
@@ -96,7 +97,12 @@ class BatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
 
         inv = jax.lax.rsqrt(var.astype(x.dtype) + self.eps)
-        return (x - mean.astype(x.dtype)) * inv * scale + bias
+        # emit the caller's dtype: under mixed precision a f32 BN output
+        # would double the HBM bytes of every BN-wrapped activation in BOTH
+        # passes (the backward re-reads them) — the train step is
+        # bandwidth-bound, so this is ~free accuracy-wise and large
+        # throughput-wise (stats/normalization still f32 above)
+        return ((x - mean.astype(x.dtype)) * inv * scale + bias).astype(in_dtype)
 
 
 class PointwiseConv(nn.Module):
