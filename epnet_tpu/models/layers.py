@@ -52,7 +52,14 @@ class BatchNorm(nn.Module):
     def __call__(self, x, train: bool, momentum=0.1):
         C = x.shape[-1]
         in_dtype = x.dtype
-        x = x.astype(jnp.float32)  # stats and normalization always in f32
+        # Statistics accumulate in f32 via reduction dtype — but the
+        # activation itself is never materialized as an f32 copy: under
+        # mixed precision, an explicit astype(f32) of e.g. the full-res
+        # image-tower tensor costs ~25 GB of counted HBM traffic per B4
+        # train step (tools/train_hlo_dump.py). Elementwise normalization
+        # runs in the caller's dtype (flax nn.BatchNorm(dtype=bf16)
+        # semantics); the per-device-group path keeps the old exact f32
+        # form (it is an ablation knob, not a hot path).
         ra_mean = self.variable('batch_stats', 'mean', lambda: jnp.zeros(C, jnp.float32))
         ra_var = self.variable('batch_stats', 'var', lambda: jnp.ones(C, jnp.float32))
         scale = self.param('scale', nn.initializers.ones, (C,))
@@ -63,6 +70,7 @@ class BatchNorm(nn.Module):
             # per-device-stats emulation: normalize each batch group with its
             # own statistics; running stats track group 0 (torch DataParallel
             # keeps the device-0 module's buffers).
+            x = x.astype(jnp.float32)
             B = x.shape[0]
             xg = x.reshape(g, B // g, *x.shape[1:])
             red = tuple(range(1, xg.ndim - 1))
@@ -81,28 +89,29 @@ class BatchNorm(nn.Module):
             return (out.reshape(x.shape) * scale + bias).astype(in_dtype)
         if train:
             red = tuple(range(x.ndim - 1))
-            mean = jnp.mean(x, axis=red)
+            mean = jnp.mean(x, axis=red, dtype=jnp.float32)          # (C,) f32
             # two-pass variance: the E[x^2]-E[x]^2 form cancels catastrophically
-            # for large activations and can go negative past eps -> rsqrt(NaN)
-            var = jnp.mean(jnp.square(x - mean), axis=red)
+            # for large activations and can go negative past eps -> rsqrt(NaN).
+            # The centred square converts to f32 INSIDE the reduction fusion
+            # (no f32 activation copy reaches HBM).
+            diff = x - mean.astype(in_dtype)
+            var = jnp.mean(jnp.square(diff.astype(jnp.float32)), axis=red)
             n = 1
             for d in red:
                 n *= x.shape[d]
             unbiased = var * (n / max(n - 1, 1))
             if not self.is_initializing():
                 m = jnp.asarray(momentum, jnp.float32)
-                ra_mean.value = (1 - m) * ra_mean.value + m * mean.astype(jnp.float32)
-                ra_var.value = (1 - m) * ra_var.value + m * unbiased.astype(jnp.float32)
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
         else:
             mean, var = ra_mean.value, ra_var.value
+            diff = x - mean.astype(in_dtype)
 
-        inv = jax.lax.rsqrt(var.astype(x.dtype) + self.eps)
-        # emit the caller's dtype: under mixed precision a f32 BN output
-        # would double the HBM bytes of every BN-wrapped activation in BOTH
-        # passes (the backward re-reads them) — the train step is
-        # bandwidth-bound, so this is ~free accuracy-wise and large
-        # throughput-wise (stats/normalization still f32 above)
-        return ((x - mean.astype(x.dtype)) * inv * scale + bias).astype(in_dtype)
+        # fold inv*scale in f32 once per channel, then one bf16 (or f32)
+        # multiply-add over the activation
+        w = jax.lax.rsqrt(var + self.eps) * scale                    # (C,) f32
+        return diff * w.astype(in_dtype) + bias.astype(in_dtype)
 
 
 class PointwiseConv(nn.Module):
