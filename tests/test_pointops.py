@@ -128,3 +128,45 @@ def test_three_interpolate(rng):
     got = np.asarray(three_interpolate(feats, idx, w))
     want = np.einsum('nkc,nk->nc', feats[0][idx[0]], w[0])
     np.testing.assert_allclose(got[0], want, rtol=1e-5, atol=1e-5)
+
+
+def test_roipool3d_matches_oracle(rng):
+    """Exact roipool3d vs a numpy oracle of the CUDA 3-kernel pipeline
+    (roipool3d_kernel.cu:97-195): first-S in-box indices in ascending
+    order, cyclic duplication below S, all-zero output + flag for empty
+    boxes."""
+    from epnet_tpu.data.box_np import points_in_boxes3d as np_in_boxes
+    from epnet_tpu.ops.boxes import enlarge_box3d
+    from epnet_tpu.ops.roipool3d import roipool3d
+
+    B, N, M, S, C = 2, 300, 5, 32, 4
+    pts = rng.uniform(-10, 10, (B, N, 3)).astype(np.float32)
+    feats = rng.randn(B, N, C).astype(np.float32)
+    boxes = np.zeros((B, M, 7), np.float32)
+    boxes[..., 0] = rng.uniform(-8, 8, (B, M))
+    boxes[..., 1] = rng.uniform(-1, 1, (B, M))
+    boxes[..., 2] = rng.uniform(-8, 8, (B, M))
+    boxes[..., 3:6] = rng.uniform(1.0, 4.0, (B, M, 3))
+    boxes[..., 6] = rng.uniform(-np.pi, np.pi, (B, M))
+    # one guaranteed-empty box far away
+    boxes[:, -1, 0] = 100.0
+
+    extra = 0.5
+    pooled, empty = roipool3d(pts, feats, boxes, extra, sampled_pt_num=S,
+                              exact=True)
+    pooled, empty = np.asarray(pooled), np.asarray(empty)
+
+    big = np.asarray(enlarge_box3d(boxes.reshape(-1, 7), extra)).reshape(B, M, 7)
+    table = np.concatenate([pts, feats], axis=-1)
+    for b in range(B):
+        inb = np_in_boxes(pts[b], big[b])  # (M, N) bool
+        for m in range(M):
+            hits = np.flatnonzero(inb[m])
+            if len(hits) == 0:
+                assert empty[b, m] == 1
+                np.testing.assert_array_equal(pooled[b, m], 0.0)
+                continue
+            assert empty[b, m] == 0
+            sel = hits[:S]
+            want = table[b][np.resize(sel, S)]  # cyclic duplication
+            np.testing.assert_allclose(pooled[b, m], want, rtol=1e-6)

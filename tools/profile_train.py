@@ -7,6 +7,10 @@ from __graft_entry__ import _full_batch, _full_config
 from epnet_tpu.train.trainer import create_train_state, jit_train_step, device_batch
 
 cfg = _full_config()
+import sys
+if '--no-dropout' in sys.argv:
+    cfg = cfg.merged({'RPN': {'DP_RATIO': -1.0}, 'RCNN': {'DP_RATIO': -1.0}})
+    print('dropout disabled', flush=True)
 B = 4
 batch = _full_batch(cfg, batch_size=B, seed=0)
 # add labels
