@@ -322,9 +322,15 @@ def three_nn(
     exact = _resolve_exact(exact)
 
     if not exact:
-        d2 = jnp.clip(_pairwise_d2(unknown, known), 0.0, None)
+        # bf16 distance field: halves the HBM bytes of the (B, N, M) tensor
+        # (the matmul epilogue fuses the cast, so f32 never lands). Selection
+        # among near-equidistant neighbours can swap (~0.4% key rounding),
+        # which inverse-distance weighting makes harmless — and the policy is
+        # train/eval-consistent like ball_query. Weights see ~0.4% distance
+        # error.
+        d2 = jnp.clip(_pairwise_d2(unknown, known), 0.0, None).astype(jnp.bfloat16)
         vals, idx = lax.approx_min_k(d2, 3, recall_target=0.95)
-        return jnp.sqrt(vals), idx.astype(jnp.int32)
+        return jnp.sqrt(vals.astype(jnp.float32)), idx.astype(jnp.int32)
 
     def block(queries):  # (B, c, 3)
         d2 = _pairwise_d2(queries, known)

@@ -91,5 +91,100 @@ def main():
             print(f'sa0 fused TM={tm}: FAILED {type(e).__name__}', flush=True)
 
 
-if __name__ == '__main__':
+if __name__ == '__main__' and '--i16' not in __import__('sys').argv:
     main()
+
+
+def i16_onehot_probe():
+    """Does a 16-bit compare speed the fused kernel's one-hot build?"""
+    import functools
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+
+    import numpy as np
+
+    T, N, M, S, C = 800, 512, 128, 64, 128
+    kr = jax.random.PRNGKey(0)
+    mk = lambda shape: jax.jit(
+        lambda k: jax.random.normal(k, shape, jnp.float32).astype(jnp.bfloat16))(kr)
+    y, o, w2 = mk((T, N, C)), mk((T, M, C)), mk((C, C))
+    idx = jax.jit(lambda k: jax.random.randint(k, (T, M, S), 0, N, jnp.int32))(kr)
+    b2 = jnp.zeros(C, jnp.float32)
+
+    def kernel(y_ref, o_ref, idx_ref, w2_ref, b2_ref, out_ref, *, S, idt):
+        TM = idx_ref.shape[1]
+        Nn = y_ref.shape[1]
+        R = TM * S
+        yk = y_ref[0]
+        idxk = idx_ref[0].astype(idt)
+        iota = lax.broadcasted_iota(idt, (TM, S, Nn), 2)
+        oh = (idxk[:, :, None] == iota).reshape(R, Nn)
+        g = jnp.dot(oh.astype(jnp.bfloat16), yk,
+                    preferred_element_type=jnp.float32)
+        ob = jnp.broadcast_to(o_ref[0].astype(jnp.float32)[:, None, :],
+                              (TM, S, yk.shape[-1])).reshape(R, yk.shape[-1])
+        h1 = jnp.maximum(g - ob, 0.0)
+        h2 = jnp.maximum(jnp.dot(h1.astype(jnp.bfloat16), w2_ref[:],
+                                 preferred_element_type=jnp.float32)
+                         + b2_ref[:].astype(jnp.float32), 0.0)
+        h3 = jnp.maximum(jnp.dot(h2.astype(jnp.bfloat16), w2_ref[:],
+                                 preferred_element_type=jnp.float32)
+                         + b2_ref[:].astype(jnp.float32), 0.0)
+        C3 = w2_ref.shape[-1]
+        out_ref[0] = jnp.max(h3.reshape(TM, S, C3), axis=1).astype(out_ref.dtype)
+
+    def run(idt, label):
+        import functools as ft
+        TM = 64
+        f = pl.pallas_call(
+            ft.partial(kernel, S=S, idt=idt),
+            grid=(T, M // TM),
+            in_specs=[
+                pl.BlockSpec((1, N, C), lambda t, j: (t, 0, 0)),
+                pl.BlockSpec((1, TM, C), lambda t, j: (t, j, 0)),
+                pl.BlockSpec((1, TM, S), lambda t, j: (t, j, 0)),
+                pl.BlockSpec((C, C), lambda t, j: (0, 0)),
+                pl.BlockSpec((1, C), lambda t, j: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, TM, C), lambda t, j: (t, j, 0)),
+            out_shape=jax.ShapeDtypeStruct((T, M, C), jnp.bfloat16),
+        )
+
+        def op(y, o, idx):
+            return jnp.sum(f(y, o, idx, w2, b2.reshape(1, C)).astype(jnp.float32))
+
+        K = 11
+
+        def run_k(k):
+            @jax.jit
+            def g(args):
+                def body(acc, i):
+                    a = (args[0] + i * jnp.bfloat16(1e-3),) + args[1:]
+                    return acc + op(*a), 0.0
+                acc, _ = jax.lax.scan(body, 0.0, jnp.arange(k, dtype=jnp.float32))
+                return acc
+            np.asarray(g((y, o, idx)))
+            t0 = time.time()
+            for _ in range(3):
+                np.asarray(g((y, o, idx)))
+            return (time.time() - t0) / 3
+
+        t1, tk = run_k(1), run_k(K)
+        print(f'{label}: {(tk - t1) / (K - 1) * 1000:.2f} ms', flush=True)
+
+    for idt, label in ((jnp.int32, 'onehot compare int32'),
+                       (jnp.int16, 'onehot compare int16'),
+                       (jnp.uint16, 'onehot compare uint16')):
+        try:
+            run(idt, label)
+        except Exception as e:
+            print(f'{label}: FAILED {type(e).__name__}: {str(e)[:120]}',
+                  flush=True)
+
+
+if __name__ == '__main__' and '--i16' in __import__('sys').argv:
+    i16_onehot_probe()
