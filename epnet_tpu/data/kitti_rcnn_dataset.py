@@ -263,6 +263,11 @@ class KittiRCNNDataset(KittiDataset):
             if cfg.GT_AUG_HARD_RATIO > 0:
                 pool = self.gt_database[0] if np.random.rand() > cfg.GT_AUG_HARD_RATIO \
                     else self.gt_database[1]
+                # the reference assumes both pools are populated (real KITTI
+                # always has easy+hard objects); on tiny synthetic trees one
+                # pool can be empty — fall back to the other instead of
+                # aborting the paste loop
+                pool = pool or self.gt_database[0] or self.gt_database[1]
             else:
                 pool = self.gt_database
             if not pool:
@@ -273,6 +278,11 @@ class KittiRCNNDataset(KittiDataset):
             feats = np.concatenate(
                 [gd['intensity'].reshape(-1, 1), gd['rgb']], axis=1) \
                 if 'rgb' in gd else gd['intensity'].reshape(-1, 1)
+            # match the caller's feature width: the training path passes
+            # intensity+rgb (4), the offline aug CLI intensity only (1) —
+            # mirrors the reference's separate aug_one_scene
+            # (tools/generate_aug_scene.py:150-214) which drops rgb
+            feats = feats[:, :pts_features.shape[1]]
             if cfg.PC_REDUCE_BY_RANGE and not self._in_pc_range(box[0:3]):
                 continue
             if len(pts) < 5:
@@ -331,6 +341,13 @@ class KittiRCNNDataset(KittiDataset):
         """(:281-409)."""
         cfg = self.cfg
         sample_id = int(self.sample_id_list[index])
+        if sample_id >= 10000:
+            # reference asserts here too (:294 'unable to use aug data with
+            # img align'): pasted clusters have no aligned image pixels, so
+            # the train_aug split is LiDAR-only by design
+            raise ValueError(
+                f'aug-scene sample {sample_id} cannot be used with LI fusion; '
+                f'disable LI_FUSION for the train_aug split')
         calib = self.get_calib(sample_id)
         img = self.get_image_rgb_with_normal(sample_id)
         img_shape = self.get_image_shape(sample_id)
