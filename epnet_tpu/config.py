@@ -73,6 +73,11 @@ class RPNConfig:
     # is already a shuffled random subset; skipping stage-1 FPS trades a
     # little coverage uniformity for ~25ms/step on v5e)
     SAMPLING: str = 'fps'
+    # TPU extension: partitioned FPS — run FPS independently on this many
+    # interleaved index-slices (uniform random subsets under the loader's
+    # shuffle), dividing the sequential selection depth by the same factor.
+    # 1 = exact reference FPS. Quality ablation: tools/sampling_ablation.py.
+    FPS_GROUPS: int = 1
     SA_CONFIG: SAConfigRPN = field(default_factory=SAConfigRPN)
     FP_MLPS: Tuple[Tuple[int, ...], ...] = ((128, 128), (256, 256), (512, 512), (512, 512))
     CLS_FC: Tuple[int, ...] = (128,)

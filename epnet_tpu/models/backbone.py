@@ -54,7 +54,8 @@ class PointBackbone(nn.Module):
             li_xyz, li_feats_i, fps_idx = SAModuleMSG(
                 npoint=sa.NPOINTS[i], radii=sa.RADIUS[i], nsamples=sa.NSAMPLE[i],
                 mlps=sa.MLPS[i], use_xyz=True, bn=cfg.RPN.USE_BN, dtype=dt,
-                sampler=cfg.RPN.SAMPLING, name=f'sa{i}')(l_xyz[i], l_feats[i], train=train, bn_momentum=bn_momentum)
+                sampler=cfg.RPN.SAMPLING, fps_groups=cfg.RPN.FPS_GROUPS,
+                name=f'sa{i}')(l_xyz[i], l_feats[i], train=train, bn_momentum=bn_momentum)
 
             if li.ENABLED:
                 li_xy = gather_points(l_xy[i], fps_idx)

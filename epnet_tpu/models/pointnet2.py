@@ -16,8 +16,10 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.pointops import (
+    _resolve_exact,
     ball_query,
     ball_query_multi,
+    ball_query_nested,
     furthest_point_sample,
     gather_points,
     group_points,
@@ -60,6 +62,7 @@ class SAModuleMSG(nn.Module):
     bn: bool = True
     dtype: object = None
     sampler: str = 'fps'  # 'fps' | 'random' (see Config.RPN.SAMPLING)
+    fps_groups: int = 1   # partitioned FPS (see Config.RPN.FPS_GROUPS)
 
     @nn.compact
     def __call__(self, xyz, features=None, train: bool = False, bn_momentum=0.1):
@@ -71,7 +74,8 @@ class SAModuleMSG(nn.Module):
                     jnp.arange(self.npoint, dtype=jnp.int32)[None],
                     (xyz.shape[0], self.npoint))
             else:
-                fps_idx = furthest_point_sample(xyz, self.npoint)
+                fps_idx = furthest_point_sample(xyz, self.npoint,
+                                                groups=self.fps_groups)
             new_xyz = gather_points(xyz, fps_idx)
         else:  # group-all (reference GroupAll, pointnet2_utils.py:283-306)
             fps_idx = None
@@ -118,9 +122,26 @@ class SAModuleMSG(nn.Module):
                     gf = gf[..., :features.shape[-1]]
             return gf
 
+        scale_idx = nested_cnts = None
         if self.npoint is not None:
-            # one shared distance field for all MSG scales
-            scale_idx = ball_query_multi(self.radii, self.nsamples, xyz, new_xyz)
+            radii, ns = list(self.radii), list(self.nsamples)
+            # Monotone multi-scale configs on the approx path take the nested
+            # nearest-first query: ONE field + ONE approx_max_k + ONE gather
+            # of nsamples[-1] rows serves every scale (inner scales are
+            # prefix-slices of the distance-sorted outer ball). Exact mode and
+            # single-scale stages keep the per-scale paths.
+            if (len(radii) > 1 and radii == sorted(radii) and ns == sorted(ns)
+                    and not _resolve_exact(None)):
+                nest_idx, nested_cnts = ball_query_nested(radii, ns, xyz, new_xyz)
+                if pack:
+                    g_full = group_points(table, nest_idx)
+                else:
+                    gx_full = group_points(xyz, nest_idx)
+                    gf_full = (group_points(gfeats, nest_idx)
+                               if gfeats is not None else None)
+            else:
+                # one shared distance field for all MSG scales
+                scale_idx = ball_query_multi(self.radii, self.nsamples, xyz, new_xyz)
 
         outs = []
         for i, hidden in enumerate(self.mlps):
@@ -129,7 +150,8 @@ class SAModuleMSG(nn.Module):
             # (rcnn_net.py:28-42: USE_BN false, 128/256-wide MLPs). The
             # SharedMLP is still constructed (same name, same params) so
             # checkpoints interchange with the unfused path.
-            if (self.npoint is not None and len(hidden) == 3
+            if (self.npoint is not None and scale_idx is not None
+                    and len(hidden) == 3
                     and fused_sa_available(xyz.shape[1], self.npoint,
                                            self.nsamples[i], *hidden,
                                            use_bn=self.bn)):
@@ -152,12 +174,33 @@ class SAModuleMSG(nn.Module):
                     y, o, scale_idx[i], w2.astype(cdt), b2, w3.astype(cdt), b3))
                 continue
             if self.npoint is not None:
-                idx = scale_idx[i]
-                if pack:
-                    gt = group_points(table, idx)
+                if nested_cnts is not None:
+                    s_i = self.nsamples[i]
+
+                    def prefix(full, s_i=s_i, cnt=nested_cnts[i]):
+                        # scale i = distance-sorted prefix of the outer ball;
+                        # slots past the in-radius count repeat slot 0 (the
+                        # nearest hit). The outermost scale is already
+                        # pad-resolved in the gathered rows — no select.
+                        if s_i == full.shape[2]:
+                            return full
+                        sel = (jnp.arange(s_i, dtype=jnp.int32)[None, None, :]
+                               < cnt[:, :, None])[..., None]
+                        return jnp.where(sel, full[:, :, :s_i], full[:, :, 0:1])
+
+                    if pack:
+                        gt = prefix(g_full)
+                        grouped_xyz = gt[..., 0:3] - new_xyz[:, :, None, :]
+                        grouped = unpack_feats(gt)
+                    else:
+                        grouped_xyz = prefix(gx_full) - new_xyz[:, :, None, :]
+                        grouped = prefix(gf_full) if gf_full is not None else None
+                elif pack:
+                    gt = group_points(table, scale_idx[i])
                     grouped_xyz = gt[..., 0:3] - new_xyz[:, :, None, :]
                     grouped = unpack_feats(gt)
                 else:
+                    idx = scale_idx[i]
                     grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
                     grouped = group_points(gfeats, idx) if gfeats is not None else None
                 if self.dtype is not None:

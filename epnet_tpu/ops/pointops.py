@@ -72,7 +72,8 @@ def furthest_point_sample_xla(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
     return idxs
 
 
-def furthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
+def furthest_point_sample(xyz: jnp.ndarray, npoint: int,
+                          groups: int = 1) -> jnp.ndarray:
     """Public FPS entry point, dispatched by shape.
 
     The Pallas kernel keeps the whole distance field in VMEM but serializes
@@ -80,12 +81,35 @@ def furthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
     on v5e); the XLA recurrence vectorizes each iteration across the batch,
     so it wins for many small clouds (RCNN rois: 800x512 -> 3.6 vs 37 ms).
     Crossover measured in tools/profile_fps_variants.py.
+
+    ``groups > 1`` selects *partitioned* FPS: the cloud is split into
+    ``groups`` interleaved index-slices (uniform random subsets under the
+    loader's point shuffle) and FPS runs on each independently for
+    ``npoint/groups`` samples. Exact FPS is sequential over npoint
+    (sampling_gpu.cu:118); partitioning divides that critical path by
+    ``groups`` while keeping per-step work constant (the slices' selection
+    chains interleave in one Pallas pass). The union of per-slice FPS is not
+    exact FPS but has the same far-cluster coverage property — quality
+    ablation in tools/sampling_ablation.py. Off (1) by default.
     """
     from . import fps_pallas
 
     B, N = xyz.shape[0], xyz.shape[1]
-    if fps_pallas.available() and N % 128 == 0 and N >= 4096 and B <= 64:
-        return fps_pallas.furthest_point_sample_pallas(xyz, npoint)
+    if (groups > 1 and N % groups == 0 and npoint % groups == 0
+            and npoint // groups >= 1):
+        sub = xyz.reshape(B, N // groups, groups, xyz.shape[-1])
+        sub = jnp.moveaxis(sub, 2, 1).reshape(B * groups, N // groups,
+                                              xyz.shape[-1])
+        loc = furthest_point_sample(sub, npoint // groups)
+        loc = loc.reshape(B, groups, npoint // groups)
+        glob = loc * groups + jnp.arange(groups, dtype=jnp.int32)[None, :, None]
+        # interleave selection rounds so any prefix is group-balanced
+        return jnp.moveaxis(glob, 1, 2).reshape(B, npoint)
+    if fps_pallas.available() and N % 128 == 0 and B <= 64 \
+            and (N >= 4096 or (B > 8 and N >= 1024)):
+        pair = next(p for p in (64, 32, 16, 8, 4, 2, 1) if B % p == 0
+                    and p * (N // 128) * 128 * 4 * 4 <= 8 * 1024 * 1024)
+        return fps_pallas.furthest_point_sample_pallas(xyz, npoint, pair=pair)
     return furthest_point_sample_xla(xyz, npoint)
 
 
@@ -159,10 +183,19 @@ def _chunk_size(total: int, budget: int) -> int:
 def _pairwise_d2(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(..., M, 3) x (..., N, 3) -> (..., M, N) squared distances via the MXU
     (|a|^2 + |b|^2 - 2 a.b): the cross term is a matmul, which is the fast
-    path on TPU — the broadcast-subtract form is pure VPU traffic."""
+    path on TPU — the broadcast-subtract form is pure VPU traffic.
+
+    The cross term MUST run at HIGHEST precision: TPU's default f32 matmul
+    truncates operands to bf16, whose ~0.4% relative error on |a||b| is an
+    ABSOLUTE d2 error of ~0.004*|a|^2 — at KITTI scales prescaled by a
+    0.16-4 m radius that is up to ~200x radius^2 (measured: self-distance
+    error 215 at 40 m range, r=0.4), turning far-range neighbourhoods into
+    noise. The field is HBM-bandwidth-bound (FLOPs ~1000x below bytes), so
+    the 6-pass f32 matmul costs nothing measurable."""
     aa = jnp.sum(a * a, axis=-1)[..., :, None]
     bb = jnp.sum(b * b, axis=-1)[..., None, :]
-    ab = jnp.einsum('...mc,...nc->...mn', a, b)
+    ab = jnp.einsum('...mc,...nc->...mn', a, b,
+                    precision=lax.Precision.HIGHEST)
     return aa + bb - 2.0 * ab
 
 
@@ -289,6 +322,82 @@ def ball_query_multi(radii, nsamples, xyz, new_xyz, exact: bool = None):
             out = lax.map(blk, chunks)  # (M//ch, B, ch, s)
             outs.append(jnp.moveaxis(out, 0, 1).reshape(B, M, s))
     return outs
+
+
+def ball_query_nested(radii, nsamples, xyz, new_xyz):
+    """Nested nearest-first multi-scale ball query (TPU approx path).
+
+    One distance field + ONE ``approx_max_k`` serves every MSG scale: with
+    *nearest-first* selection (keys = -d2 instead of the exact path's
+    first-hit -index keys), the ``nsamples[i]`` nearest points inside
+    ``radii[i]`` are exactly the leading slots of the sorted
+    nearest-``nsamples[-1]``-inside-``radii[-1]`` list whose distance passes
+    the inner radius test.  The caller then performs a single
+    ``group_points`` gather of ``nsamples[-1]`` rows and derives every inner
+    scale by prefix-slice + slot-select — at RPN sa0 (16+32 samples) that is
+    one field instead of two and 32 gathered rows instead of 48.
+
+    Selection-policy note: the reference CUDA kernel keeps the *first*
+    ``nsample`` in-radius hits in index order (ball_query_gpu.cu:34-43) —
+    an arbitrary subset under the loader's point shuffle. Nearest-first is a
+    different, deterministic subset of the same ball, equivalent for the
+    order-invariant sample-max downstream (and keeps the most informative
+    neighbours when the ball overflows). Like every approx-path policy it
+    must be train/eval-consistent (see ROADMAP ablation).
+
+    Empty-ball semantics: slots of a ball with fewer than ``nsamples[i]``
+    in-radius points repeat slot 0 (the nearest hit — the reference repeats
+    the first hit). A ball empty at scale i but not at the outermost radius
+    pads with the nearest point *outside* radius i (the reference gathers
+    unrelated point 0); a ball empty at every scale returns index 0 like the
+    reference.
+
+    :param xyz: (B, N, 3) points; new_xyz: (B, M, 3) centroids.
+    :return: ``(idx, cnts)`` — idx (B, M, nsamples[-1]) int32 sorted by
+        ascending distance and pad-resolved; cnts[i] (B, M) int32 = number
+        of leading slots inside radii[i] (may exceed nsamples[i]; scale i
+        uses rows [0:nsamples[i]) with slots >= cnts[i] replaced by slot 0).
+    """
+    assert list(radii) == sorted(radii) and len(radii) == len(nsamples)
+    assert list(nsamples) == sorted(nsamples)
+    xyz = lax.stop_gradient(xyz)
+    new_xyz = lax.stop_gradient(new_xyz)
+    B, N = xyz.shape[0], xyz.shape[1]
+    M = new_xyz.shape[1]
+    r_max = float(radii[-1])
+    s_max = int(nsamples[-1])
+    # inner-radius thresholds on the normalized d2 (d2 < r_i^2  <=>
+    # -d2/r_max^2 > -(r_i/r_max)^2); tested on the bf16-rounded keys, so
+    # membership can flip for points within rounding of the boundary —
+    # standard approx-path tolerance.
+    thrs = [-(float(r) / r_max) ** 2 for r in radii[:-1]]
+    inv = jnp.float32(1.0 / r_max)
+    xs, cs = xyz * inv, new_xyz * inv
+
+    def blk(cen_blk):
+        d2n = _pairwise_d2(cen_blk, xs)            # = d2 / r_max^2
+        mask = d2n < 1.0                           # exact f32 outer test
+        keys = jnp.where(mask, (-d2n).astype(jnp.bfloat16),
+                         jnp.asarray(-4.0, jnp.bfloat16))
+        v, idx = lax.approx_max_k(keys, s_max, recall_target=0.95)
+        idx = idx.astype(jnp.int32)
+        vf = v.astype(jnp.float32)                 # descending = nearest first
+        valid = vf > -2.0
+        cnt = jnp.sum(valid, axis=-1).astype(jnp.int32)
+        idx = jnp.where(valid, idx, idx[..., 0:1])
+        idx = jnp.where(cnt[..., None] > 0, idx, 0)
+        cnts = [jnp.sum(vf > t, axis=-1).astype(jnp.int32) for t in thrs]
+        return idx, tuple(cnts + [cnt])
+
+    ch = _chunk_size(M, (64 * 1024 * 1024) // max(B * N, 1))
+    if ch == M:
+        idx, cnts = blk(cs)
+        return idx, list(cnts)
+    chunks = jnp.moveaxis(cs.reshape(B, M // ch, ch, 3), 1, 0)
+    idx, cnts = lax.map(blk, chunks)               # leading (M//ch) axis
+    idx = jnp.moveaxis(idx, 0, 1).reshape(B, M, s_max)
+    cnts = [jnp.moveaxis(c, 0, 1).reshape(B, M) for c in cnts]
+    return idx, cnts
 
 
 # ---------------------------------------------------------------------------

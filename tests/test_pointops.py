@@ -170,3 +170,133 @@ def test_roipool3d_matches_oracle(rng):
             sel = hits[:S]
             want = table[b][np.resize(sel, S)]  # cyclic duplication
             np.testing.assert_allclose(pooled[b, m], want, rtol=1e-6)
+
+
+def test_ball_query_nested_nearest_prefix(rng):
+    """Nested multi-scale query: distance-sorted slots, per-scale prefix
+    counts, nearest-hit padding, empty-ball zeros (see ball_query_nested).
+
+    Points sit on distance shells spaced ~5% apart so the bf16 key rounding
+    (8 mantissa bits, ~0.4% resolution) cannot reorder or merge them.
+    """
+    from epnet_tpu.ops import pointops
+
+    N = 32
+    dists = 0.05 * (1.06 ** np.arange(N))  # 0.05 .. ~0.3, well separated
+    dirs = rng.randn(N, 3)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    perm = rng.permutation(N)  # shuffle so nearest-first != index-first
+    xyz = (dists[:, None] * dirs)[perm][None].astype(np.float32)  # (1, N, 3)
+    cen = np.array([[[0.0, 0.0, 0.0]], [[50.0, 0, 0]]], np.float32)  # 2nd empty
+    xyz = np.concatenate([xyz, xyz], axis=0)
+
+    radii, ns = [0.10, 0.20], [4, 8]
+    idx, cnts = pointops.ball_query_nested(radii, ns, xyz, cen.reshape(2, 1, 3))
+    idx, cnts = np.asarray(idx), [np.asarray(c) for c in cnts]
+
+    d = dists[perm]
+    order = np.argsort(d)  # true nearest-first index order
+    n_in = [int(np.sum(d < r)) for r in radii]
+
+    # outer scale: the 8 nearest inside r2, ascending, padded with slot 0
+    want = order[: min(ns[1], n_in[1])]
+    got = idx[0, 0]
+    np.testing.assert_array_equal(got[: len(want)], want)
+    np.testing.assert_array_equal(got[len(want):],
+                                  np.full(ns[1] - len(want), want[0]))
+    assert cnts[1][0, 0] == min(n_in[1], ns[1])
+
+    # inner scale: prefix count = slots inside r1
+    assert cnts[0][0, 0] == min(n_in[0], ns[1])
+    inner = np.where(np.arange(ns[0]) < cnts[0][0, 0], got[: ns[0]], got[0])
+    want1 = order[: min(ns[0], n_in[0])]
+    np.testing.assert_array_equal(inner[: len(want1)], want1)
+    np.testing.assert_array_equal(inner[len(want1):],
+                                  np.full(ns[0] - len(want1), want1[0]))
+
+    # empty ball: index 0 everywhere, zero counts
+    np.testing.assert_array_equal(idx[1, 0], 0)
+    assert cnts[0][1, 0] == 0 and cnts[1][1, 0] == 0
+
+
+def test_sa_module_nested_matches_per_scale_nearest(rng):
+    """SAModuleMSG's nested grouping must equal the same module fed by
+    per-scale nearest-first queries computed independently (exact top_k)."""
+    import jax
+    import jax.numpy as jnp
+    from epnet_tpu.models.pointnet2 import SAModuleMSG
+    from epnet_tpu.ops import pointops
+
+    B, N, C = 2, 64, 4
+    xyz = rng.randn(B, N, 3).astype(np.float32)
+    feats = rng.randn(B, N, C).astype(np.float32)
+    radii, ns = [0.8, 1.6], [4, 8]
+    mod = SAModuleMSG(npoint=16, radii=radii, nsamples=ns,
+                      mlps=[[8, 8], [8, 8]], bn=False)
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(xyz),
+                      jnp.asarray(feats))
+
+    old = pointops.EXACT_QUERIES
+    pointops.EXACT_QUERIES = False  # approx path -> nested on
+    try:
+        nx, nf, _ = mod.apply(params, jnp.asarray(xyz), jnp.asarray(feats))
+    finally:
+        pointops.EXACT_QUERIES = old
+    nx, nf = np.asarray(nx), np.asarray(nf)
+    assert np.isfinite(nf).all()
+
+    # oracle: nearest-first per-scale neighbourhoods around the same centroids
+    cen = nx
+    d2 = np.sum((cen[:, :, None, :] - xyz[:, None, :, :]) ** 2, -1)  # (B,M,N)
+    outs = []
+    for r, s, width in zip(radii, ns, (8, 8)):
+        idx = np.zeros((B, 16, s), np.int64)
+        for b in range(B):
+            for m in range(16):
+                hits = np.argsort(d2[b, m], kind='stable')
+                hits = hits[d2[b, m][hits] < r * r][:s]
+                idx[b, m] = np.resize(hits, s) if len(hits) else 0
+                if len(hits):
+                    idx[b, m, len(hits):] = hits[0]  # pad = nearest hit
+        # nested padding deviation: empty inner ball pads with the nearest
+        # OUTER-ball point; replicate from the outer-scale hits
+        if r != radii[-1]:
+            for b in range(B):
+                for m in range(16):
+                    if not (d2[b, m] < r * r).any():
+                        oh = np.argsort(d2[b, m], kind='stable')
+                        oh = oh[d2[b, m][oh] < radii[-1] ** 2]
+                        idx[b, m] = oh[0] if len(oh) else 0
+        gx = np.take_along_axis(xyz[:, None], idx[..., None], 2) \
+            - cen[:, :, None, :]
+        gf = np.take_along_axis(feats[:, None], idx[..., None], 2)
+        outs.append((idx, np.concatenate([gx, gf], -1)))
+
+    # recompute the MLP+max with the module's own params on oracle groups
+    from epnet_tpu.models.layers import SharedMLP
+    ref_feats = []
+    for i, (idx_i, g) in enumerate(outs):
+        sub = {'params': params['params'][f'SharedMLP_{i}']}
+        h = SharedMLP([8, 8], bn=False).apply(sub, jnp.asarray(g))
+        ref_feats.append(np.asarray(jnp.max(h, axis=2)))
+    ref = np.concatenate(ref_feats, -1)
+    np.testing.assert_allclose(nf, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_fps_partitioned_matches_per_group_oracle(rng):
+    """groups>1 = exact FPS on each interleaved index-slice, indices mapped
+    back to the global cloud and round-interleaved."""
+    from epnet_tpu.ops.pointops import furthest_point_sample
+
+    B, N, G, npoint = 2, 64, 4, 16
+    xyz = rng.randn(B, N, 3).astype(np.float32)
+    got = np.asarray(furthest_point_sample(xyz, npoint, groups=G))
+    assert got.shape == (B, npoint)
+
+    for g in range(G):
+        sub = xyz[:, g::G]                       # the interleaved slice
+        want = np_fps(sub, npoint // G) * G + g  # global indices
+        np.testing.assert_array_equal(got[:, g::G], want)
+    # all distinct within each scene
+    for b in range(B):
+        assert len(set(got[b].tolist())) == npoint

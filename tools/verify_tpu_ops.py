@@ -19,53 +19,100 @@ import numpy as np
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from epnet_tpu.ops.fps_pallas import furthest_point_sample_pallas
-    from epnet_tpu.ops.pointops import (ball_query, furthest_point_sample_xla,
-                                        gather_points, group_points, three_nn)
+    from epnet_tpu.ops.pointops import (ball_query, ball_query_nested,
+                                        furthest_point_sample,
+                                        furthest_point_sample_xla,
+                                        group_points, three_nn)
 
     assert jax.default_backend() == 'tpu', 'run on the TPU host'
-    rng = np.random.RandomState(0)
     ok = True
+    # All data is generated ON-device and every comparison reduces to a
+    # scalar ON-device: the axon tunnel moves bulk arrays at ~MB/s, so
+    # host round-trips of MB-scale test tensors dominate wall time
+    # otherwise (see memory: axon-profiling-discipline).
+    key = jax.random.PRNGKey(0)
+
+    def gather_ref(pts, idx):  # plain-gather semantics, on device
+        return jnp.take_along_axis(pts[:, None], idx[..., None], axis=2)
 
     # one-hot MXU gathers must be bit-exact
     for B, N, C, M, S in [(4, 512, 131, 128, 64), (2, 64, 7, 16, 8),
                           (3, 1024, 33, 100, 16)]:
-        pts = rng.randn(B, N, C).astype(np.float32)
-        idx = rng.randint(0, N, (B, M, S)).astype(np.int32)
-        got = np.asarray(group_points(pts, idx))
-        want = np.stack([pts[b][idx[b]] for b in range(B)])
-        exact = np.array_equal(got, want)
+        k1, k2, key = jax.random.split(key, 3)
+        pts = jax.random.normal(k1, (B, N, C), jnp.float32)
+        idx = jax.random.randint(k2, (B, M, S), 0, N, jnp.int32)
+        exact = bool(jnp.array_equal(group_points(pts, idx),
+                                     gather_ref(pts, idx)))
         ok &= exact
-        print(f'group_points one-hot N={N}: bit-exact={exact}')
+        print(f'group_points one-hot N={N}: bit-exact={exact}', flush=True)
 
     # Pallas FPS vs XLA recurrence (f32 ties may differ; require >=99.9% agree)
-    xyz = rng.randn(8, 16384, 3).astype(np.float32)
-    a = np.asarray(furthest_point_sample_pallas(xyz, 4096))
-    b = np.asarray(furthest_point_sample_xla(jax.device_put(xyz), 4096))
-    agree = (a == b).mean()
+    k1, key = jax.random.split(key)
+    xyz = jax.random.normal(k1, (8, 16384, 3), jnp.float32)
+    a = furthest_point_sample_pallas(xyz, 4096)
+    b = furthest_point_sample_xla(xyz, 4096)
+    agree = float(jnp.mean((a == b).astype(jnp.float32)))
     ok &= agree > 0.999
-    print(f'pallas FPS vs XLA agreement: {agree:.6f} (ties may differ)')
+    print(f'pallas FPS vs XLA agreement: {agree:.6f} (ties may differ)',
+          flush=True)
+
+    # partitioned FPS: per-slice selections must be valid global indices of
+    # their own slice and distinct within a scene
+    pidx = furthest_point_sample(xyz, 4096, groups=8)
+    # slot j holds a point of slice j%8 (global = local*8 + g), and all
+    # selections within a scene are distinct
+    slice_ok = bool(jnp.all(pidx % 8 == jnp.arange(4096)[None] % 8))
+    counts = jnp.zeros((8, 16384), jnp.int32).at[
+        jnp.arange(8)[:, None], pidx].add(1)
+    distinct = bool(jnp.max(counts) == 1)
+    ok &= distinct and slice_ok
+    print(f'partitioned FPS G=8: slices={slice_ok} distinct={distinct}',
+          flush=True)
 
     # approx ball query: selected neighbours must lie inside the radius
-    small = rng.randn(2, 2048, 3).astype(np.float32)
+    k1, key = jax.random.split(key)
+    small = jax.random.normal(k1, (2, 2048, 3), jnp.float32)
     cen = small[:, :256]
-    idx = np.asarray(ball_query(0.8, 16, jax.device_put(small), jax.device_put(cen)))
-    sel = np.stack([small[b][idx[b]] for b in range(2)])
-    d = np.linalg.norm(sel - cen[:, :, None, :], axis=-1)
-    has_hit = (d.min(-1) < 0.8)
-    inside = (d[has_hit] < 0.8 + 1e-5).mean()
+    idx = ball_query(0.8, 16, small, cen)
+    d = jnp.linalg.norm(gather_ref(small, idx) - cen[:, :, None, :], axis=-1)
+    has_hit = d.min(-1) < 0.8
+    inside = float(jnp.sum(jnp.where(has_hit[..., None], d < 0.8 + 1e-5, 0.0))
+                   / (jnp.sum(has_hit) * 16))
     # recall-0.95 misses are padded with the first hit; a small fraction of
     # pad slots can reference an out-of-ball point when the top slot itself
     # was a miss. Documented behaviour (~0.3-0.7%).
     ok &= inside > 0.98
-    print(f'approx ball query: in-radius fraction={inside:.6f} (>0.98 ok)')
+    print(f'approx ball query: in-radius fraction={inside:.6f} (>0.98 ok)',
+          flush=True)
+
+    # nested multi-scale query: slots distance-sorted, prefix counts honest
+    nidx, cnts = ball_query_nested([0.4, 0.8], [8, 16], small, cen)
+    nd = jnp.linalg.norm(gather_ref(small, nidx) - cen[:, :, None, :],
+                         axis=-1)
+    live = (jnp.arange(16)[None, None] < cnts[1][..., None])
+    # sorted in the bf16 KEY space the kernel selects in (-d2/r^2 as bf16);
+    # true f32 distances may invert within a bf16 rounding bucket
+    d2k = ((nd / 0.8) ** 2).astype(jnp.bfloat16)
+    sorted_frac = float(
+        jnp.sum(jnp.where(live[..., 1:],
+                          jnp.diff(d2k.astype(jnp.float32), axis=-1) >= 0.0,
+                          1.0))
+        / live[..., 1:].size)
+    inner_ok = float(jnp.sum(jnp.where(
+        jnp.arange(16)[None, None] < cnts[0][..., None],
+        nd < 0.4 * (1 + 1e-2), 1.0)) / live.size)
+    ok &= sorted_frac > 0.99 and inner_ok > 0.98
+    print(f'nested ball query: sorted={sorted_frac:.4f} inner-radius '
+          f'ok={inner_ok:.4f}', flush=True)
 
     # approx three_nn: distances must be (near-)sorted nearest
-    d3, i3 = three_nn(jax.device_put(small), jax.device_put(cen))
-    d3 = np.asarray(d3)
-    mono = (np.diff(d3, axis=-1) >= -1e-5).mean()
-    print(f'approx three_nn: sorted fraction={mono:.6f}')
+    d3, i3 = three_nn(small, cen)
+    mono = float(jnp.mean((jnp.diff(d3, axis=-1) >= -1e-5)
+                          .astype(jnp.float32)))
+    print(f'approx three_nn: sorted fraction={mono:.6f}', flush=True)
     ok &= mono > 0.99
 
     if '--e2e' in sys.argv:
@@ -115,6 +162,7 @@ def e2e_exact_vs_approx():
     })
     rng = np.random.RandomState(11)
     batch = synthetic_batch(rng, cfg, batch=2, structured=True)
+    batch = jax.device_put(batch)  # once — not 300x through the slow tunnel
     state, model, tx = create_train_state(cfg, jax.random.PRNGKey(0), batch,
                                           total_steps=300)
     step = jit_train_step(cfg, model, tx)
