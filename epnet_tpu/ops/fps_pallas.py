@@ -37,6 +37,46 @@ def available() -> bool:
         return False
 
 
+def _fps_kernel_vec(xs_ref, ys_ref, zs_ref, out_ref, mind_ref, *,
+                    npoint: int, n: int, pair: int):
+    """Pair-VECTORIZED selection step over a 2D (pair, N) layout: one batched
+    lane-reduction chain instead of ``pair`` unrolled scalar chains.
+
+    The unrolled kernel's per-step cost is pair x (fixed chain latency); at
+    large ``pair`` with small sub-clouds (partitioned FPS: 64 x 2048) that
+    dominates. Here each sub-cloud owns one sublane row, per-pair scalars
+    are (pair, 1) lane reductions (keepdims), and every step is ~6 VPU
+    passes over the whole block regardless of pair — the dispatch crossover
+    vs the unrolled kernel is measured in tools/profile_fps_partitioned.py.
+    """
+    iota_n = lax.broadcasted_iota(jnp.int32, (pair, n), 1)
+    P = out_ref.shape[1]
+    slot = lax.broadcasted_iota(jnp.int32, (pair, P), 1)
+
+    mind_ref[:] = jnp.full((pair, n), 1e10, dtype=jnp.float32)
+    out_ref[:] = jnp.zeros_like(out_ref)
+
+    def body(j, last):
+        eq = iota_n == last
+        x1 = jnp.max(jnp.where(eq, xs_ref[:], -jnp.inf), axis=1,
+                     keepdims=True)
+        y1 = jnp.max(jnp.where(eq, ys_ref[:], -jnp.inf), axis=1,
+                     keepdims=True)
+        z1 = jnp.max(jnp.where(eq, zs_ref[:], -jnp.inf), axis=1,
+                     keepdims=True)
+        d = ((xs_ref[:] - x1) ** 2 + (ys_ref[:] - y1) ** 2
+             + (zs_ref[:] - z1) ** 2)
+        mind = jnp.minimum(mind_ref[:], d)
+        mind_ref[:] = mind
+        best_val = jnp.max(mind, axis=1, keepdims=True)
+        best = jnp.min(jnp.where(mind == best_val, iota_n, n), axis=1,
+                       keepdims=True)
+        out_ref[:] = jnp.where(slot == j, best, out_ref[:])
+        return best
+
+    lax.fori_loop(1, npoint, body, jnp.zeros((pair, 1), jnp.int32))
+
+
 def _fps_kernel(xs_ref, ys_ref, zs_ref, out_ref, mind_ref, idx_ref, *,
                 npoint: int, n: int, pair: int):
     from jax.experimental import pallas as pl
@@ -78,13 +118,16 @@ def _fps_kernel(xs_ref, ys_ref, zs_ref, out_ref, mind_ref, idx_ref, *,
     out_ref[:] = idx_ref[:]
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def furthest_point_sample_pallas(xyz: jnp.ndarray, npoint: int,
-                                 pair: int = 0) -> jnp.ndarray:
+                                 pair: int = 0,
+                                 vectorized: bool = False) -> jnp.ndarray:
     """(B, N, 3) -> (B, npoint) int32; N must be a multiple of 128.
 
     ``pair`` = batch elements interleaved per grid step (0 = auto); their
     independent reduction chains overlap in the VPU issue pipeline.
+    ``vectorized`` batches the per-step reductions across the pair axis
+    instead (wins at large pair / small N — see _fps_kernel_vec).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -95,6 +138,25 @@ def furthest_point_sample_pallas(xyz: jnp.ndarray, npoint: int,
     P = max(_LANE, ((npoint + _SUB - 1) // _SUB + _LANE - 1) // _LANE * _LANE)
     pair = pair or next(p for p in (8, 4, 2, 1) if B % p == 0)
     xyz = lax.stop_gradient(xyz).astype(jnp.float32)
+
+    if vectorized:
+        P2 = (npoint + _LANE - 1) // _LANE * _LANE
+        planes2 = xyz.transpose(2, 0, 1)  # (3, B, N)
+        kernel = functools.partial(_fps_kernel_vec, npoint=npoint, n=N,
+                                   pair=pair)
+        cspec = pl.BlockSpec((pair, N), lambda b: (b, 0),
+                             memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel,
+            grid=(B // pair,),
+            in_specs=[cspec, cspec, cspec],
+            out_specs=pl.BlockSpec((pair, P2), lambda b: (b, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, P2), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((pair, N), jnp.float32)],
+        )(planes2[0], planes2[1], planes2[2])
+        return out[:, :npoint]
+
     planes = xyz.transpose(2, 0, 1).reshape(3, B, rows, _LANE)
 
     kernel = functools.partial(_fps_kernel, npoint=npoint, n=N, pair=pair)

@@ -105,11 +105,15 @@ def furthest_point_sample(xyz: jnp.ndarray, npoint: int,
         glob = loc * groups + jnp.arange(groups, dtype=jnp.int32)[None, :, None]
         # interleave selection rounds so any prefix is group-balanced
         return jnp.moveaxis(glob, 1, 2).reshape(B, npoint)
-    if fps_pallas.available() and N % 128 == 0 and B <= 64 \
-            and (N >= 4096 or (B > 8 and N >= 1024)):
-        pair = next(p for p in (64, 32, 16, 8, 4, 2, 1) if B % p == 0
-                    and p * (N // 128) * 128 * 4 * 4 <= 8 * 1024 * 1024)
-        return fps_pallas.furthest_point_sample_pallas(xyz, npoint, pair=pair)
+    if fps_pallas.available() and N % 128 == 0:
+        # pair-vectorized kernel: one lane-reduction chain per step over a
+        # (pair, N) block; pick the largest batch divisor whose working set
+        # (3 coord planes + min-dist, f32) stays within ~4 MB of VMEM.
+        pair = max((p for p in range(1, B + 1) if B % p == 0
+                    and p * N * 16 <= 4 * 1024 * 1024), default=1)
+        if pair * N >= 2048:  # below this the XLA recurrence wins
+            return fps_pallas.furthest_point_sample_pallas(
+                xyz, npoint, pair=pair, vectorized=True)
     return furthest_point_sample_xla(xyz, npoint)
 
 

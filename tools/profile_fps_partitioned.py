@@ -43,9 +43,46 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from epnet_tpu.ops.fps_pallas import furthest_point_sample_pallas
     from epnet_tpu.ops.pointops import furthest_point_sample
 
     kr = jax.random.PRNGKey(0)
+
+    # kernel-variant sweep: unrolled-pair vs pair-vectorized at the
+    # sub-cloud shapes partitioned FPS produces
+    for B, N, npoint, tag in ((8, 16384, 4096, 'G1 sa0'),
+                              (64, 2048, 512, 'G8 sa0-sub'),
+                              (64, 512, 128, 'G8 sa1-sub')):
+        if N % 128:
+            continue
+        xyz = jax.jit(lambda k: jax.random.uniform(
+            k, (B, N, 3), jnp.float32, -40, 40))(kr)
+        a = np.asarray(furthest_point_sample_pallas(xyz, npoint, 0, False))
+        b = np.asarray(furthest_point_sample_pallas(xyz, npoint, 0, True))
+        assert np.array_equal(a, b), f'{tag}: vec != unrolled'
+        for pair in (8, 16, 32, 64):
+            if B % pair:
+                continue
+            for vec in (False, True):
+                scan_time(
+                    f'{tag} B{B} {N}->{npoint} pair={pair} vec={vec}',
+                    lambda x, p=pair, v=vec: jnp.sum(
+                        furthest_point_sample_pallas(x, npoint, p, v)
+                        .astype(jnp.float32)),
+                    xyz)
+
+    # dispatch-level timings (vec kernel now default on TPU), incl. the
+    # RCNN roi-tower shape where the XLA recurrence used to win
+    from epnet_tpu.ops.pointops import furthest_point_sample_xla
+    xyz = jax.jit(lambda k: jax.random.uniform(
+        k, (800, 512, 3), jnp.float32, -3, 3))(kr)
+    scan_time('rcnn 800x512->128 dispatch',
+              lambda x: jnp.sum(furthest_point_sample(x, 128)
+                                .astype(jnp.float32)), xyz)
+    scan_time('rcnn 800x512->128 xla',
+              lambda x: jnp.sum(furthest_point_sample_xla(x, 128)
+                                .astype(jnp.float32)), xyz)
+
     for B, N, npoint, tag in ((8, 16384, 4096, 'sa0'), (8, 4096, 1024, 'sa1')):
         xyz = jax.jit(lambda k: jax.random.uniform(
             k, (B, N, 3), jnp.float32, -40, 40))(kr)
