@@ -69,13 +69,26 @@ def roipool3d(
         first_k = jnp.pad(first_k, ((0, 0), (0, 0), (0, S - k)), constant_values=N)
     empty_flag = (cnt == 0).astype(jnp.int32)
 
-    # cyclic duplication for boxes with cnt < S (roipool3d_kernel.cu:144-153)
     slot = jnp.arange(S, dtype=jnp.int32)
-    safe_cnt = jnp.clip(cnt, 1, None)[..., None]
-    wrapped_slot = slot % safe_cnt  # (B, M, S)
-    need_wrap = slot >= jnp.minimum(cnt, S)[..., None]
-    sel_slot = jnp.where(need_wrap, wrapped_slot, slot)
-    idx = jnp.take_along_axis(first_k, sel_slot, axis=-1)  # (B, M, S)
+    if exact:
+        # cyclic duplication for boxes with cnt < S
+        # (roipool3d_kernel.cu:144-153)
+        safe_cnt = jnp.clip(cnt, 1, None)[..., None]
+        wrapped_slot = slot % safe_cnt  # (B, M, S)
+        need_wrap = slot >= jnp.minimum(cnt, S)[..., None]
+        sel_slot = jnp.where(need_wrap, wrapped_slot, slot)
+        idx = jnp.take_along_axis(first_k, sel_slot, axis=-1)  # (B, M, S)
+    else:
+        # approx path: pad short boxes by repeating the FIRST in-box point
+        # (the ball_query pad policy) instead of cycling. The distinct-point
+        # set per box is identical — slots [0, cnt) hold every found point
+        # either way and the RCNN consumes the pool set-wise (per-row MLP +
+        # sample-max), so only duplicate multiplicity differs. Cycling costs
+        # a (B, M, S) lane-axis take_along_axis, which XLA lowers as a slow
+        # per-lane gather (~5.5 ms/B8 — tools/profile_roipool_pieces.py);
+        # the pad is a pure select.
+        pad = first_k[..., 0:1]
+        idx = jnp.where(slot < jnp.minimum(cnt, S)[..., None], first_k, pad)
     idx = jnp.where(empty_flag[..., None] > 0, 0, jnp.clip(idx, 0, N - 1))
 
     # ONE packed row gather: TPU gathers are row-latency bound (~13 ns/row

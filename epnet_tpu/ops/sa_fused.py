@@ -62,31 +62,45 @@ def _pick_tile_m(M: int, S: int, cap: int = 2048) -> int:
     return best
 
 
+def _onehot_t(idx_row, N):
+    """Transposed one-hot (N, R) from a (1, R) index row.
+
+    The index row broadcasts down the N sublanes of a (N, R) iota compare —
+    no reshape/relayout of a big tile anywhere (the straightforward
+    (TM, S, N) compare + reshape-to-(R, N) costs ~20% of the kernel;
+    tools/profile_fused_onehot.py). Contract axis 0 of the result against
+    axis 0 of the (N, C) table to realize the gather.
+    """
+    iota = lax.broadcasted_iota(jnp.int32, (N, idx_row.shape[-1]), 0)
+    return iota == idx_row
+
+
+def _contract0(oht, y):
+    return lax.dot_general(oht, y, (((0,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32)
+
+
 def _fwd_kernel(y_ref, o_ref, idx_ref, w2_ref, b2_ref, w3_ref, b3_ref,
                 out_ref, *, S: int, n_splits: int):
-    TM = idx_ref.shape[1]
+    TM = o_ref.shape[1]
     N = y_ref.shape[1]
     R = TM * S
     y = y_ref[0]                                   # (N, C1)
-    idx = idx_ref[0]                               # (TM, S) int32
-    iota = lax.broadcasted_iota(jnp.int32, (TM, S, N), 2)
-    oh = (idx[:, :, None] == iota).reshape(R, N)   # (R, N) bool
+    oht = _onehot_t(idx_ref[0, 0], N)              # (N, R) bool
 
     if n_splits == 1:
         cdt = y.dtype if y.dtype == jnp.bfloat16 else jnp.float32
-        g = jnp.dot(oh.astype(cdt), y.astype(cdt),
-                    preferred_element_type=jnp.float32)
+        g = _contract0(oht.astype(cdt), y.astype(cdt))
     else:
         # exact f32 row selection in 3 bf16 passes: one-hot is exact in
         # bf16 and y == hi + mid + lo exactly (8+8+8 mantissa bits)
-        ohb = oh.astype(jnp.bfloat16)
+        ohb = oht.astype(jnp.bfloat16)
         hi = y.astype(jnp.bfloat16)
         rem = y - hi.astype(jnp.float32)
         mid = rem.astype(jnp.bfloat16)
         lo = (rem - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        g = (jnp.dot(ohb, hi, preferred_element_type=jnp.float32)
-             + jnp.dot(ohb, mid, preferred_element_type=jnp.float32)
-             + jnp.dot(ohb, lo, preferred_element_type=jnp.float32))
+        g = (_contract0(ohb, hi) + _contract0(ohb, mid)
+             + _contract0(ohb, lo))
 
     C1 = y.shape[-1]
     o = o_ref[0].astype(jnp.float32)               # (TM, C1)
@@ -136,13 +150,16 @@ def _fused_fwd_impl(y, o, idx, w2, b2, w3, b3, tile_m, interpret, out_dtype):
 
     grid = (T, M // TM)
     kernel = functools.partial(_fwd_kernel, S=S, n_splits=n_splits)
+    # idx rides as one (1, R) lane row per tile (4D so the trailing block
+    # dims match the array dims — see _onehot_t)
+    idx4 = idx.reshape(T, M // TM, 1, TM * S)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, N, C1), lambda t, j: (t, 0, 0)),
             pl.BlockSpec((1, TM, C1), lambda t, j: (t, j, 0)),
-            pl.BlockSpec((1, TM, S), lambda t, j: (t, j, 0)),
+            pl.BlockSpec((1, 1, 1, TM * S), lambda t, j: (t, j, 0, 0)),
             pl.BlockSpec((C1, C2), lambda t, j: (0, 0)),
             pl.BlockSpec((1, C2), lambda t, j: (0, 0)),
             pl.BlockSpec((C2, C3), lambda t, j: (0, 0)),
@@ -151,7 +168,7 @@ def _fused_fwd_impl(y, o, idx, w2, b2, w3, b3, tile_m, interpret, out_dtype):
         out_specs=pl.BlockSpec((1, TM, C3), lambda t, j: (t, j, 0)),
         out_shape=jax.ShapeDtypeStruct((T, M, C3), out_dtype),
         interpret=interpret,
-    )(y, o, idx, w2, b2.reshape(1, C2), w3, b3.reshape(1, C3))
+    )(y, o, idx4, w2, b2.reshape(1, C2), w3, b3.reshape(1, C3))
 
 
 # ---------------------------------------------------------------------------
@@ -162,7 +179,7 @@ def _fused_fwd_impl(y, o, idx, w2, b2, w3, b3, tile_m, interpret, out_dtype):
 def _bwd_kernel(y_ref, o_ref, idx_ref, w2_ref, b2_ref, w3_ref, b3_ref, g_ref,
                 dy_ref, do_ref, dw2_ref, db2_ref, dw3_ref, db3_ref,
                 *, S: int, n_splits: int):
-    TM = idx_ref.shape[1]
+    TM = o_ref.shape[1]
     N = y_ref.shape[1]
     R = TM * S
     C1 = y_ref.shape[-1]
@@ -172,23 +189,19 @@ def _bwd_kernel(y_ref, o_ref, idx_ref, w2_ref, b2_ref, w3_ref, b3_ref, g_ref,
 
     # --- recompute forward tile (identical to _fwd_kernel) ---------------
     y = y_ref[0]
-    idx = idx_ref[0]
-    iota = lax.broadcasted_iota(jnp.int32, (TM, S, N), 2)
-    oh = (idx[:, :, None] == iota).reshape(R, N)
+    oht = _onehot_t(idx_ref[0, 0], N)
     cdt = w2_ref.dtype
     if n_splits == 1:
         gdt = y.dtype if y.dtype == jnp.bfloat16 else jnp.float32
-        g1 = jnp.dot(oh.astype(gdt), y.astype(gdt),
-                     preferred_element_type=jnp.float32)
+        g1 = _contract0(oht.astype(gdt), y.astype(gdt))
     else:
-        ohb = oh.astype(jnp.bfloat16)
+        ohb = oht.astype(jnp.bfloat16)
         hi = y.astype(jnp.bfloat16)
         rem = y - hi.astype(jnp.float32)
         mid = rem.astype(jnp.bfloat16)
         lo = (rem - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        g1 = (jnp.dot(ohb, hi, preferred_element_type=jnp.float32)
-              + jnp.dot(ohb, mid, preferred_element_type=jnp.float32)
-              + jnp.dot(ohb, lo, preferred_element_type=jnp.float32))
+        g1 = (_contract0(ohb, hi) + _contract0(ohb, mid)
+              + _contract0(ohb, lo))
     o = o_ref[0].astype(jnp.float32)
     ob = jnp.broadcast_to(o[:, None, :], (TM, S, C1)).reshape(R, C1)
     h1 = jnp.maximum(g1 - ob, 0.0)
@@ -221,9 +234,10 @@ def _bwd_kernel(y_ref, o_ref, idx_ref, w2_ref, b2_ref, w3_ref, b3_ref, g_ref,
 
     dp1 = jnp.where(g1 - ob > 0.0, dh1, 0.0)       # (R, C1) f32
     # gather backward = transposed one-hot matmul (exact scatter-add): the
-    # bf16 cast of dp1 mirrors the unfused mixed-precision path's grads
+    # bf16 cast of dp1 mirrors the unfused mixed-precision path's grads;
+    # oht is already (N, R) so this is a plain dot
     gdt = jnp.bfloat16 if n_splits == 1 and y.dtype == jnp.bfloat16 else jnp.float32
-    dy_tile = jnp.dot(oh.astype(gdt).T, dp1.astype(gdt),
+    dy_tile = jnp.dot(oht.astype(gdt), dp1.astype(gdt),
                       preferred_element_type=jnp.float32)  # (N, C1)
     do_tile = -jnp.sum(dp1.reshape(TM, S, C1), axis=1)     # (TM, C1)
 
@@ -267,13 +281,14 @@ def _fused_bwd_rule(tile_m, interpret, out_dtype, res, gout):
 
     grid = (T, M // TM)
     kernel = functools.partial(_bwd_kernel, S=S, n_splits=n_splits)
+    idx4 = idx.reshape(T, M // TM, 1, TM * S)
     dy, do, dw2, db2, dw3, db3 = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, N, C1), lambda t, j: (t, 0, 0)),
             pl.BlockSpec((1, TM, C1), lambda t, j: (t, j, 0)),
-            pl.BlockSpec((1, TM, S), lambda t, j: (t, j, 0)),
+            pl.BlockSpec((1, 1, 1, TM * S), lambda t, j: (t, j, 0, 0)),
             pl.BlockSpec((C1, C2), lambda t, j: (0, 0)),
             pl.BlockSpec((1, C2), lambda t, j: (0, 0)),
             pl.BlockSpec((C2, C3), lambda t, j: (0, 0)),
@@ -297,7 +312,7 @@ def _fused_bwd_rule(tile_m, interpret, out_dtype, res, gout):
             jax.ShapeDtypeStruct((1, C3), jnp.float32),
         ],
         interpret=interpret,
-    )(y, o, idx, w2, b2.reshape(1, C2), w3, b3.reshape(1, C3), gout)
+    )(y, o, idx4, w2, b2.reshape(1, C2), w3, b3.reshape(1, C3), gout)
 
     return (dy.astype(y.dtype), do.astype(o.dtype), None,
             dw2.astype(w2.dtype), db2.reshape(C2).astype(b2.dtype),

@@ -300,3 +300,50 @@ def test_fps_partitioned_matches_per_group_oracle(rng):
     # all distinct within each scene
     for b in range(B):
         assert len(set(got[b].tolist())) == npoint
+
+
+def test_roipool3d_approx_pad_policy(rng):
+    """Approx roipool3d pads short boxes by repeating the first found point
+    (ball_query pad policy) instead of cycling; the distinct-point set per
+    box must equal the exact path's first-S hits (see roipool3d docstring —
+    approx_max_k at full recall on these tiny shapes finds every hit)."""
+    from epnet_tpu.data.box_np import points_in_boxes3d as np_in_boxes
+    from epnet_tpu.ops.boxes import enlarge_box3d
+    from epnet_tpu.ops.roipool3d import roipool3d
+
+    B, N, M, S, C = 2, 300, 5, 32, 4
+    pts = rng.uniform(-10, 10, (B, N, 3)).astype(np.float32)
+    feats = rng.randn(B, N, C).astype(np.float32)
+    boxes = np.zeros((B, M, 7), np.float32)
+    boxes[..., 0] = rng.uniform(-8, 8, (B, M))
+    boxes[..., 1] = rng.uniform(-1, 1, (B, M))
+    boxes[..., 2] = rng.uniform(-8, 8, (B, M))
+    boxes[..., 3:6] = rng.uniform(1.0, 4.0, (B, M, 3))
+    boxes[..., 6] = rng.uniform(-np.pi, np.pi, (B, M))
+    boxes[:, -1, 0] = 100.0  # guaranteed empty
+
+    extra = 0.5
+    pooled, empty = roipool3d(pts, feats, boxes, extra, sampled_pt_num=S,
+                              exact=False)
+    pooled, empty = np.asarray(pooled), np.asarray(empty)
+
+    big = np.asarray(enlarge_box3d(boxes.reshape(-1, 7), extra)).reshape(B, M, 7)
+    table = np.concatenate([pts, feats], axis=-1)
+    for b in range(B):
+        inb = np_in_boxes(pts[b], big[b])
+        for m in range(M):
+            hits = np.flatnonzero(inb[m])
+            if len(hits) == 0:
+                assert empty[b, m] == 1
+                np.testing.assert_array_equal(pooled[b, m], 0.0)
+                continue
+            assert empty[b, m] == 0
+            sel = hits[:S]
+            want = table[b][sel]
+            np.testing.assert_allclose(pooled[b, m, :len(sel)], want,
+                                       rtol=1e-6)
+            # pad slots repeat the first hit
+            np.testing.assert_allclose(
+                pooled[b, m, len(sel):],
+                np.broadcast_to(table[b][sel[0]], (S - len(sel), 3 + C)),
+                rtol=1e-6)
