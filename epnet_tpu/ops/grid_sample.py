@@ -10,14 +10,22 @@ to pixel 0 and +1 to pixel W-1. The reference pins ``torch===1.2.0``
 so this mapping matches the runtime that produced the published results.
 Out-of-bounds taps contribute zero (padding_mode='zeros').
 
-TPU-first: the gather of 4 neighbouring texels per point is a
-``take_along_axis`` over the flattened H*W axis — XLA lowers this to a
-dynamic-gather that autodiffs into scatter-adds, so no custom backward is
-needed (the reference relied on torch's CUDA grid_sampler kernels).
+TPU-first: TPU gathers cost ~constant per gathered *instance*, so four
+separate corner gathers per point run 4x slower than one. We fetch the
+whole 2x2 texel patch as a single ``lax.gather`` slice per point and
+weight it with the bilinear hat function hat(t) = max(0, 1 - |t|):
+zero-padded align-corners bilinear equals the hat-weighted sum over the
+clipped 2x2 window, because any tap >= 1 pixel from the sample point
+(including every out-of-image tap after clipping) self-zeroes. Measured
+2.4x faster at the full-res LI-Fusion stage (15.4 -> 6.5 ms, B8 16384pts,
+tools/profile_gridsample_patch.py). ``lax.gather`` autodiffs into
+scatter-adds, so no custom backward is needed (the reference relied on
+torch's CUDA grid_sampler kernels).
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -31,24 +39,29 @@ def grid_sample_points(feature_map: jnp.ndarray, xy_norm: jnp.ndarray) -> jnp.nd
     x = (xy_norm[..., 0] + 1.0) * 0.5 * (W - 1)
     y = (xy_norm[..., 1] + 1.0) * 0.5 * (H - 1)
 
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    dx = x - x0
-    dy = y - y0
+    # top-left corner of the 2x2 window, clipped so the patch fits
+    xs = jnp.clip(jnp.floor(x), 0, max(W - 2, 0)).astype(jnp.int32)
+    ys = jnp.clip(jnp.floor(y), 0, max(H - 2, 0)).astype(jnp.int32)
 
-    flat = feature_map.reshape(B, H * W, C)
-
-    def tap(xi, yi, w):
-        inside = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
-        xc = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
-        yc = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
-        vals = jnp.take_along_axis(flat, (yc * W + xc)[..., None], axis=1)  # (B, N, C)
-        return vals * (w * inside.astype(vals.dtype))[..., None]
-
-    out = (
-        tap(x0, y0, (1 - dx) * (1 - dy))
-        + tap(x0 + 1, y0, dx * (1 - dy))
-        + tap(x0, y0 + 1, (1 - dx) * dy)
-        + tap(x0 + 1, y0 + 1, dx * dy)
+    starts = jnp.stack([ys, xs], axis=-1)  # (B, N, 2)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3, 4),
+        collapsed_slice_dims=(),
+        start_index_map=(1, 2),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
     )
-    return out
+    patch = jax.lax.gather(
+        feature_map, starts, dnums,
+        slice_sizes=(1, min(2, H), min(2, W), C),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )  # (B, N, ph, pw, C)
+
+    def hat(t, s, n):
+        return jnp.stack([jnp.maximum(0.0, 1.0 - jnp.abs(t - (s + i)))
+                          for i in range(n)], axis=-1)
+
+    wy = hat(y, ys, patch.shape[2])  # (B, N, ph)
+    wx = hat(x, xs, patch.shape[3])  # (B, N, pw)
+    w = (wy[..., :, None] * wx[..., None, :]).astype(feature_map.dtype)
+    return jnp.einsum('bnij,bnijc->bnc', w, patch)
