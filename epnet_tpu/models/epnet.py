@@ -75,7 +75,9 @@ class EPNet(nn.Module):
                     tgt = proposal_target_layer(
                         key, rois, batch['gt_boxes3d'], backbone_xyz,
                         rpn_features, seg_mask, pts_depth, cfg)
-                    pts_input = jnp.concatenate([tgt.sampled_pts, tgt.pts_feature], axis=-1)
+                    pts_input = jnp.concatenate(
+                        [tgt.sampled_pts.astype(tgt.pts_feature.dtype),
+                         tgt.pts_feature], axis=-1)
                     out.update(tgt._asdict())
                 else:
                     pts_input = _pool_for_eval(cfg, rois, backbone_xyz, rpn_features,
@@ -111,11 +113,13 @@ def _pool_for_eval(cfg: Config, rois, xyz, rpn_features, seg_mask, pts_depth):
     feats = jnp.concatenate(extra + [rpn_features], axis=-1)
     if cfg.MIXED_PRECISION:
         feats = feats.astype(jnp.bfloat16)  # halves the pooling gather traffic
-    pooled, _ = roipool3d(xyz, feats, rois, cfg.RCNN.POOL_EXTRA_WIDTH,
-                          sampled_pt_num=cfg.RCNN.NUM_POINTS)
+    pxyz, pfeats, _ = roipool3d(xyz, feats, rois, cfg.RCNN.POOL_EXTRA_WIDTH,
+                                sampled_pt_num=cfg.RCNN.NUM_POINTS)
     ctr = rois[..., 0:3]
-    local = pooled[..., 0:3] - ctr[:, :, None, :]
+    local = pxyz - ctr[:, :, None, :]  # canonical transform stays f32
     local = rotate_points_along_y(local, rois[..., 6, None])
-    pooled = jnp.concatenate([local, pooled[..., 3:]], axis=-1)
+    # under mixed precision the RCNN tower's first op casts to bf16 anyway;
+    # concat in the narrow dtype so the (B*M, S, 3+C) input never lands f32
+    pooled = jnp.concatenate([local.astype(pfeats.dtype), pfeats], axis=-1)
     B, M, S, C = pooled.shape
     return pooled.reshape(B * M, S, C)

@@ -273,11 +273,13 @@ def proposal_target_layer(
     pts_extra = jnp.concatenate(extra, axis=-1)
 
     feats = jnp.concatenate([pts_extra, rpn_features], axis=-1)
-    pooled, empty_flag = roipool3d(rpn_xyz, feats, batch_rois,
-                                   cfg.RCNN.POOL_EXTRA_WIDTH, sampled_pt_num=S)
-    sampled_pts = pooled[..., 0:3]
-    sampled_feats = pooled[..., 3:]
-    mask_score = jnp.sum(pooled[..., 3], axis=-1) / S
+    if cfg.MIXED_PRECISION:
+        # same narrow-gather policy as the eval path (_pool_for_eval) so the
+        # RCNN sees identical input numerics in train and eval
+        feats = feats.astype(jnp.bfloat16)
+    sampled_pts, sampled_feats, empty_flag = roipool3d(
+        rpn_xyz, feats, batch_rois, cfg.RCNN.POOL_EXTRA_WIDTH, sampled_pt_num=S)
+    mask_score = jnp.sum(sampled_feats[..., 0].astype(jnp.float32), axis=-1) / S
 
     if cfg.AUG_DATA:
         sampled_pts, batch_rois, batch_gt = _per_roi_augmentation(

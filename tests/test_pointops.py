@@ -130,6 +130,31 @@ def test_three_interpolate(rng):
     np.testing.assert_allclose(got[0], want, rtol=1e-5, atol=1e-5)
 
 
+def test_roipool3d_bf16_packed_gather(rng):
+    """16-bit packed table: xyz must come back bit-exact, features equal the
+    bf16 values of the f32-path selection (same indices)."""
+    import jax.numpy as jnp
+    from epnet_tpu.ops.roipool3d import roipool3d
+    B, N, M, S, C = 2, 256, 6, 32, 9
+    pts = rng.uniform(-10, 10, (B, N, 3)).astype(np.float32)
+    feats = rng.randn(B, N, C).astype(np.float32)
+    boxes = np.zeros((B, M, 7), np.float32)
+    boxes[..., 0] = rng.uniform(-8, 8, (B, M))
+    boxes[..., 2] = rng.uniform(-8, 8, (B, M))
+    boxes[..., 3:6] = rng.uniform(2.0, 5.0, (B, M, 3))
+
+    px32, pf32, e32 = roipool3d(pts, feats, boxes, 0.5, sampled_pt_num=S,
+                                exact=True)
+    px16, pf16, e16 = roipool3d(pts, jnp.asarray(feats, jnp.bfloat16), boxes,
+                                0.5, sampled_pt_num=S, exact=True)
+    np.testing.assert_array_equal(np.asarray(e32), np.asarray(e16))
+    np.testing.assert_array_equal(np.asarray(px32), np.asarray(px16))
+    assert pf16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(pf32, np.float32).astype(jnp.bfloat16),
+        np.asarray(pf16))
+
+
 def test_roipool3d_matches_oracle(rng):
     """Exact roipool3d vs a numpy oracle of the CUDA 3-kernel pipeline
     (roipool3d_kernel.cu:97-195): first-S in-box indices in ascending
@@ -152,9 +177,10 @@ def test_roipool3d_matches_oracle(rng):
     boxes[:, -1, 0] = 100.0
 
     extra = 0.5
-    pooled, empty = roipool3d(pts, feats, boxes, extra, sampled_pt_num=S,
-                              exact=True)
-    pooled, empty = np.asarray(pooled), np.asarray(empty)
+    pxyz, pfeat, empty = roipool3d(pts, feats, boxes, extra, sampled_pt_num=S,
+                                   exact=True)
+    pooled = np.concatenate([np.asarray(pxyz), np.asarray(pfeat)], axis=-1)
+    empty = np.asarray(empty)
 
     big = np.asarray(enlarge_box3d(boxes.reshape(-1, 7), extra)).reshape(B, M, 7)
     table = np.concatenate([pts, feats], axis=-1)
@@ -323,9 +349,10 @@ def test_roipool3d_approx_pad_policy(rng):
     boxes[:, -1, 0] = 100.0  # guaranteed empty
 
     extra = 0.5
-    pooled, empty = roipool3d(pts, feats, boxes, extra, sampled_pt_num=S,
-                              exact=False)
-    pooled, empty = np.asarray(pooled), np.asarray(empty)
+    pxyz, pfeat, empty = roipool3d(pts, feats, boxes, extra, sampled_pt_num=S,
+                                   exact=False)
+    pooled = np.concatenate([np.asarray(pxyz), np.asarray(pfeat)], axis=-1)
+    empty = np.asarray(empty)
 
     big = np.asarray(enlarge_box3d(boxes.reshape(-1, 7), extra)).reshape(B, M, 7)
     table = np.concatenate([pts, feats], axis=-1)

@@ -52,7 +52,7 @@ def main():
         jnp.full((B, M, 3), 3.0), jnp.zeros((B, M, 1))], -1))(kr)
 
     scan_time('full roipool3d', lambda x, f, b: jnp.sum(
-        roipool3d(x, f, b, 0.0, S)[0]), xyz, feats, boxes)
+        roipool3d(x, f, b, 0.0, S)[0]) + jnp.sum(roipool3d(x, f, b, 0.0, S)[1]), xyz, feats, boxes)
 
     def mask_only(x, b):
         big = enlarge_box3d(b.reshape(-1, 7), 0.0).reshape(B, M, 7)
