@@ -17,8 +17,8 @@ from flax import linen as nn
 
 from ..config import Config
 from ..ops.pointops import gather_points
-from .fusion import AttenFusionConv, DeConvUp, FusionConv, ImageBlock, feature_gather
-from .layers import BatchNorm, kaiming_normal
+from .fusion import (AttenFusionConv, DeconvFusionHead, FusionConv, ImageBlock,
+                     feature_gather)
 from .pointnet2 import FPModule, SAModuleMSG
 
 IMG_SIZE = (1280.0, 384.0)  # fixed KITTI pad size (pointnet2_msg.py:207-210)
@@ -84,16 +84,13 @@ class PointBackbone(nn.Module):
                 train=train, bn_momentum=bn_momentum)
 
         if li.ENABLED:
-            # deconv pyramid back to full image resolution (pointnet2_msg.py:239-246)
-            ups = [DeConvUp(li.DeConv_Reduce[i], li.DeConv_Kernels[i], dtype=dt, name=f'deconv{i}')(imgs[i + 1])
-                   for i in range(len(li.IMG_CHANNELS) - 1)]
-            de_concat = jnp.concatenate(ups, axis=-1)
-            img_fusion = nn.Dense(li.IMG_FEATURES_CHANNEL // 4, use_bias=False,
-                                  kernel_init=kaiming_normal(), dtype=dt,
-                                  name='image_fusion_conv')(de_concat)
-            img_fusion = BatchNorm(name='image_fusion_bn')(img_fusion, train=train,
-                                                           momentum=bn_momentum)
-            img_fusion = nn.relu(img_fusion)
+            # deconv pyramid back to full image resolution, with the 1x1
+            # reduction folded into each scale's matmul (pointnet2_msg.py:239-246)
+            img_fusion = DeconvFusionHead(
+                reduce=li.DeConv_Reduce, kernels=li.DeConv_Kernels,
+                features=li.IMG_FEATURES_CHANNEL // 4, dtype=dt,
+                name='deconv_fusion')(imgs[1:], train=train,
+                                      bn_momentum=bn_momentum)
             img_pt = feature_gather(img_fusion, xy_norm)
             if li.ADD_Image_Attention:
                 l_feats[0] = AttenFusionConv(li.IMG_FEATURES_CHANNEL, dtype=dt,

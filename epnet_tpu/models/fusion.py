@@ -96,6 +96,62 @@ class FusionConv(nn.Module):
         return nn.relu(x)
 
 
+class DeconvFusionHead(nn.Module):
+    """Fused deconv pyramid + 1x1 reduction + BN + ReLU
+    (pointnet2_msg.py:170-172, 239-246).
+
+    The reference upsamples each image scale to full resolution with a
+    ConvTranspose2d (kernel == stride, so output blocks never overlap),
+    concatenates the four 16-channel maps and reduces them with a 1x1 conv.
+    Because each deconv is ``depth_to_space(x_i @ wm_i)`` and the 1x1 conv
+    distributes over the concat, the whole pyramid folds to
+
+        sum_i depth_to_space(x_i @ (wm_i @ W_i)) + const
+
+    where ``W_i`` is the slice of the reduction weight seeing scale i's
+    channels. Folding ``W_i`` into each scale's matmul means the four
+    full-resolution 16-channel maps, their 64-channel concat, and the
+    separate 1x1-conv pass never reach HBM — only the final narrow map is
+    materialized. Parameter count/shapes match the unfused modules
+    (per-scale (k, k, C, r) kernel + (r,) bias, (sum r, F) reduction).
+    """
+
+    reduce: Sequence[int]
+    kernels: Sequence[int]
+    features: int
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, imgs, train: bool = False, bn_momentum=0.1):
+        fuse_w = self.param('fusion_kernel', kaiming_normal(),
+                            (sum(self.reduce), self.features))
+        total = None
+        bias_fused = jnp.zeros((self.features,), jnp.float32)
+        off = 0
+        for i, x in enumerate(imgs):
+            k, r = self.kernels[i], self.reduce[i]
+            B, h, w, C = x.shape
+            kern = self.param(f'deconv{i}_kernel', kaiming_normal(),
+                              (k, k, C, r))
+            bias = self.param(f'deconv{i}_bias', nn.initializers.zeros, (r,))
+            wi = fuse_w[off:off + r]
+            off += r
+            dt = self.dtype or x.dtype
+            # fold the reduction slice into the deconv weight (f32, then cast)
+            cw = jnp.einsum('klcr,rf->cklf', kern, wi).reshape(
+                C, k * k * self.features).astype(dt)
+            y = x.astype(dt) @ cw                  # (B, h, w, k*k*F)
+            y = y.reshape(B, h, w, k, k, self.features)
+            y = y.transpose(0, 1, 3, 2, 4, 5).reshape(
+                B, h * k, w * k, self.features)
+            total = y if total is None else total + y
+            bias_fused = bias_fused + bias @ wi
+        total = total + bias_fused.astype(total.dtype)
+        total = BatchNorm(name='image_fusion_bn')(total, train=train,
+                                                  momentum=bn_momentum)
+        return nn.relu(total)
+
+
 class DeConvUp(nn.Module):
     """Transposed-conv upsample head bringing one image scale to full
     resolution (pointnet2_msg.py:170-172).

@@ -440,10 +440,22 @@ def three_nn(
         # among near-equidistant neighbours can swap (~0.4% key rounding),
         # which inverse-distance weighting makes harmless — and the policy is
         # train/eval-consistent like ball_query. Weights see ~0.4% distance
-        # error.
-        d2 = jnp.clip(_pairwise_d2(unknown, known), 0.0, None).astype(jnp.bfloat16)
-        vals, idx = lax.approx_min_k(d2, 3, recall_target=0.95)
-        return jnp.sqrt(vals.astype(jnp.float32)), idx.astype(jnp.int32)
+        # error. Queries are chunked like the exact path so each block's
+        # matmul -> approx_min_k stays within a bounded live field.
+        def ablock(queries):  # (B, c, 3)
+            d2 = jnp.clip(_pairwise_d2(queries, known),
+                          0.0, None).astype(jnp.bfloat16)
+            vals, idx = lax.approx_min_k(d2, 3, recall_target=0.95)
+            return (jnp.sqrt(vals.astype(jnp.float32)),
+                    idx.astype(jnp.int32))
+
+        chunk = _chunk_size(N, max_block_elems // (B * M))
+        if chunk == N:
+            return ablock(unknown)
+        chunks = jnp.moveaxis(unknown.reshape(B, N // chunk, chunk, 3), 1, 0)
+        dist, idx = lax.map(ablock, chunks)
+        return (jnp.moveaxis(dist, 0, 1).reshape(B, N, 3),
+                jnp.moveaxis(idx, 0, 1).reshape(B, N, 3))
 
     def block(queries):  # (B, c, 3)
         d2 = _pairwise_d2(queries, known)

@@ -87,3 +87,42 @@ def test_rpn_gradients_flow(setup):
     assert all(np.isfinite(np.asarray(x)).all() for x in flat)
     nonzero = sum(float(np.abs(np.asarray(x)).sum()) > 0 for x in flat)
     assert nonzero > len(flat) * 0.7  # most params receive gradient
+
+
+def test_deconv_fusion_head_matches_unfused():
+    """DeconvFusionHead == DeConvUp x4 -> concat -> 1x1 -> BN -> relu built
+    from the same parameters (the folded form is mathematically identical;
+    pointnet2_msg.py:170-172,239-246)."""
+    from epnet_tpu.models.fusion import DeConvUp, DeconvFusionHead
+    from epnet_tpu.models.layers import BatchNorm
+    from flax import linen as nn
+
+    reduce, kernels, F = (4, 4, 4, 4), (2, 4, 8, 16), 8
+    chans = (6, 7, 8, 9)
+    H, W = 32, 48
+    key = jax.random.PRNGKey(0)
+    imgs = [jax.random.normal(jax.random.fold_in(key, i),
+                              (2, H // k, W // k, c))
+            for i, (k, c) in enumerate(zip(kernels, chans))]
+
+    head = DeconvFusionHead(reduce=reduce, kernels=kernels, features=F)
+    params = head.init(jax.random.PRNGKey(1), imgs)
+    got = head.apply(params, imgs)
+
+    p = params['params']
+    ups, off = [], 0
+    for i, (k, r) in enumerate(zip(kernels, reduce)):
+        up = DeConvUp(r, k)
+        y = up.apply({'params': {'kernel': p[f'deconv{i}_kernel'],
+                                 'bias': p[f'deconv{i}_bias']}}, imgs[i])
+        ups.append(y)
+    cat = jnp.concatenate(ups, axis=-1)
+    dense = cat @ p['fusion_kernel']
+    bn = BatchNorm()
+    want = nn.relu(bn.apply(
+        {'params': params['params']['image_fusion_bn'],
+         'batch_stats': params['batch_stats']['image_fusion_bn']},
+        dense, train=False))
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
