@@ -154,23 +154,35 @@ def main():
     scan_time('image blocks (4 stages)', lambda im: sum(
         jnp.sum(o.astype(jnp.float32)) for o in bl.apply(bp, im)), img)
 
-    class DeConv(nn.Module):
+    from epnet_tpu.models.fusion import DeConvUp, DeconvFusionHead
+    from epnet_tpu.models.layers import kaiming_normal
+
+    class DeConvOld(nn.Module):
+        """The unfused tail: 4x DeConvUp -> concat -> 1x1 reduce."""
+
         @nn.compact
         def __call__(self, feats):
-            outs = []
-            for i, f in enumerate(feats):
-                k = 2 ** (i + 1)
-                outs.append(nn.ConvTranspose(
-                    16, (k, k), strides=(k, k), dtype=jnp.bfloat16)(f))
-            return jnp.concatenate(outs, -1)
+            outs = [DeConvUp(16, 2 ** (i + 1), dtype=jnp.bfloat16)(f)
+                    for i, f in enumerate(feats)]
+            cat = jnp.concatenate(outs, -1)
+            return nn.Dense(32, use_bias=False, kernel_init=kaiming_normal(),
+                            dtype=jnp.bfloat16)(cat)
 
     fmaps = [jax.jit(lambda k, i=i: jax.random.normal(
         k, (B, 384 // 2 ** (i + 1), 1280 // 2 ** (i + 1), 64 * 2 ** i),
         jnp.bfloat16))(kr) for i in range(4)]
-    dc = DeConv()
+    dc = DeConvOld()
     dp = jax.jit(lambda: dc.init(jax.random.PRNGKey(0), fmaps))()
-    scan_time('deconv pyramid to full res', lambda f0: jnp.sum(
-        dc.apply(dp, [f0] + fmaps[1:]).astype(jnp.float32)), fmaps[0])
+    scan_time('deconv pyramid unfused (4x dts + concat + 1x1)',
+              lambda f0: jnp.sum(
+                  dc.apply(dp, [f0] + fmaps[1:]).astype(jnp.float32)),
+              fmaps[0])
+
+    fh = DeconvFusionHead(reduce=(16,) * 4, kernels=(2, 4, 8, 16),
+                          features=32, dtype=jnp.bfloat16)
+    fp = jax.jit(lambda: fh.init(jax.random.PRNGKey(0), fmaps))()
+    scan_time('deconv pyramid fused (DeconvFusionHead)', lambda f0: jnp.sum(
+        fh.apply(fp, [f0] + fmaps[1:]).astype(jnp.float32)), fmaps[0])
 
     # grid-sample fusion gathers at the 4 stages + final
     from epnet_tpu.ops.grid_sample import grid_sample_points

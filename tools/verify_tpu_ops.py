@@ -108,6 +108,28 @@ def main():
     print(f'nested ball query: sorted={sorted_frac:.4f} inner-radius '
           f'ok={inner_ok:.4f}', flush=True)
 
+    # 16-bit packed roipool gather: xyz must round-trip the uint16 bitcast
+    # bit-exactly on the chip and features must equal the f32-path selection
+    from epnet_tpu.ops.roipool3d import roipool3d
+    k1, k2, key = jax.random.split(key, 3)
+    rp_pts = jax.random.uniform(k1, (2, 2048, 3), jnp.float32, -20, 20)
+    rp_feats = jax.random.normal(k2, (2, 2048, 9), jnp.float32)
+    rp_boxes = jnp.concatenate([
+        jax.random.uniform(k1, (2, 16, 1), jnp.float32, -15, 15),
+        jnp.zeros((2, 16, 1)),
+        jax.random.uniform(k2, (2, 16, 1), jnp.float32, -15, 15),
+        jnp.full((2, 16, 3), 4.0), jnp.zeros((2, 16, 1))], axis=-1)
+    px32, pf32, e32 = roipool3d(rp_pts, rp_feats, rp_boxes, 0.5,
+                                sampled_pt_num=32)
+    px16, pf16, e16 = roipool3d(rp_pts, rp_feats.astype(jnp.bfloat16),
+                                rp_boxes, 0.5, sampled_pt_num=32)
+    xyz_exact = bool(jnp.array_equal(px32, px16))
+    feat_exact = bool(jnp.array_equal(pf32.astype(jnp.bfloat16), pf16))
+    flag_same = bool(jnp.array_equal(e32, e16))
+    ok &= xyz_exact and feat_exact and flag_same
+    print(f'roipool3d bf16 packed: xyz bit-exact={xyz_exact} '
+          f'feats={feat_exact} empty-flag={flag_same}', flush=True)
+
     # approx three_nn: distances must be (near-)sorted nearest
     d3, i3 = three_nn(small, cen)
     mono = float(jnp.mean((jnp.diff(d3, axis=-1) >= -1e-5)
