@@ -254,6 +254,13 @@ class Config:
     # TPU extension (not in the reference): run conv/MLP matmuls in bfloat16
     # (params + losses + geometry stay f32). ~2x MXU throughput.
     MIXED_PRECISION: bool = False
+    # TPU extension: force exact (True) or approx_max_k/approx_min_k (False)
+    # neighbour queries regardless of backend; None keeps the per-backend
+    # default (exact off-TPU, approx on TPU). The parity recipe pins True.
+    # Applied by the train/eval CLIs and __graft_entry__ via
+    # ops.pointops.apply_query_policy(cfg) BEFORE tracing (it is module
+    # state baked in at trace time, not a traced value).
+    EXACT_QUERIES: Optional[bool] = None
     LI_FUSION: LIFusionConfig = field(default_factory=LIFusionConfig)
     RPN: RPNConfig = field(default_factory=RPNConfig)
     RCNN: RCNNConfig = field(default_factory=RCNNConfig)

@@ -282,6 +282,12 @@ class KittiRCNNDataset(KittiDataset):
             # intensity+rgb (4), the offline aug CLI intensity only (1) —
             # mirrors the reference's separate aug_one_scene
             # (tools/generate_aug_scene.py:150-214) which drops rgb
+            if feats.shape[1] < pts_features.shape[1]:
+                raise ValueError(
+                    f'gt database entries carry {feats.shape[1]} feature '
+                    f'channels but the pipeline needs {pts_features.shape[1]} '
+                    '(intensity+rgb); regenerate the gt database with '
+                    'tools/generate_gt_database.py under the same config')
             feats = feats[:, :pts_features.shape[1]]
             if cfg.PC_REDUCE_BY_RANGE and not self._in_pc_range(box[0:3]):
                 continue

@@ -113,7 +113,7 @@ def _pool_for_eval(cfg: Config, rois, xyz, rpn_features, seg_mask, pts_depth):
     feats = jnp.concatenate(extra + [rpn_features], axis=-1)
     if cfg.MIXED_PRECISION:
         feats = feats.astype(jnp.bfloat16)  # halves the pooling gather traffic
-    pxyz, pfeats, _ = roipool3d(xyz, feats, rois, cfg.RCNN.POOL_EXTRA_WIDTH,
+    pxyz, pfeats, _, _ = roipool3d(xyz, feats, rois, cfg.RCNN.POOL_EXTRA_WIDTH,
                                 sampled_pt_num=cfg.RCNN.NUM_POINTS)
     ctr = rois[..., 0:3]
     local = pxyz - ctr[:, :, None, :]  # canonical transform stays f32

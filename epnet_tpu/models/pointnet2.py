@@ -45,6 +45,25 @@ def _shared_mlp_params(mlp: SharedMLP, cin: int, n_layers: int):
             for k in range(n_layers)]
 
 
+def nested_prefix_select(full, s_i: int, cnt, outer: bool):
+    """Derive scale i's grouped rows from the nested outer-ball gather.
+
+    Scale i = distance-sorted prefix of the outer ball; slots past the
+    in-radius count repeat slot 0 (the nearest hit). Only the OUTERMOST
+    scale is already pad-resolved in the gathered rows — an inner scale
+    still needs its radius slot-select even when its nsample equals the
+    outer one (its radius is smaller).
+
+    :param full: (B, M, s_max, C) rows gathered by ``ball_query_nested``'s
+        indices; cnt: (B, M) in-radius count for scale i.
+    """
+    if outer:
+        return full
+    sel = (jnp.arange(s_i, dtype=jnp.int32)[None, None, :]
+           < cnt[:, :, None])[..., None]
+    return jnp.where(sel, full[:, :, :s_i], full[:, :, 0:1])
+
+
 class SAModuleMSG(nn.Module):
     """Multi-scale-grouping set abstraction.
 
@@ -177,16 +196,10 @@ class SAModuleMSG(nn.Module):
                 if nested_cnts is not None:
                     s_i = self.nsamples[i]
 
-                    def prefix(full, s_i=s_i, cnt=nested_cnts[i]):
-                        # scale i = distance-sorted prefix of the outer ball;
-                        # slots past the in-radius count repeat slot 0 (the
-                        # nearest hit). The outermost scale is already
-                        # pad-resolved in the gathered rows — no select.
-                        if s_i == full.shape[2]:
-                            return full
-                        sel = (jnp.arange(s_i, dtype=jnp.int32)[None, None, :]
-                               < cnt[:, :, None])[..., None]
-                        return jnp.where(sel, full[:, :, :s_i], full[:, :, 0:1])
+                    outer = i == len(self.nsamples) - 1
+
+                    def prefix(full, s_i=s_i, cnt=nested_cnts[i], outer=outer):
+                        return nested_prefix_select(full, s_i, cnt, outer)
 
                     if pack:
                         gt = prefix(g_full)

@@ -30,6 +30,7 @@ from jax import lax
 
 from ..config import Config
 from ..ops.boxes import rotate_points_along_y
+from ..ops.pointops import _resolve_exact
 from ..ops.roipool3d import roipool3d
 from ..ops.rotated_iou import boxes_iou3d
 
@@ -277,9 +278,24 @@ def proposal_target_layer(
         # same narrow-gather policy as the eval path (_pool_for_eval) so the
         # RCNN sees identical input numerics in train and eval
         feats = feats.astype(jnp.bfloat16)
-    sampled_pts, sampled_feats, empty_flag = roipool3d(
+    sampled_pts, sampled_feats, empty_flag, pool_cnt = roipool3d(
         rpn_xyz, feats, batch_rois, cfg.RCNN.POOL_EXTRA_WIDTH, sampled_pt_num=S)
-    mask_score = jnp.sum(sampled_feats[..., 0].astype(jnp.float32), axis=-1) / S
+    # mask_score = seg-channel sum over the CYCLICALLY duplicated pool / S
+    # (proposal_target_layer.py:43). The exact path's slots already carry the
+    # duplication; the approx path stores the distinct points in slots
+    # [0, min(cnt, S)) and pads with slot 0, so reproduce the cyclic
+    # multiplicity weights floor(S/c) (+1 for the first S mod c slots)
+    # explicitly — same statistic over the recovered point set.
+    seg = sampled_feats[..., 0].astype(jnp.float32)
+    if _resolve_exact(None):
+        mask_score = jnp.sum(seg, axis=-1) / S
+    else:
+        c = jnp.clip(jnp.minimum(pool_cnt, S), 1, None)
+        slot = jnp.arange(S, dtype=jnp.int32)
+        w = jnp.where(slot[None, None] < c[..., None],
+                      (S // c)[..., None] + (slot[None, None] < (S % c)[..., None]),
+                      0).astype(jnp.float32)
+        mask_score = jnp.sum(seg * w, axis=-1) / S
 
     if cfg.AUG_DATA:
         sampled_pts, batch_rois, batch_gt = _per_roi_augmentation(

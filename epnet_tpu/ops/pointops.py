@@ -43,6 +43,19 @@ def _resolve_exact(exact):
     return jax.default_backend() != 'tpu'
 
 
+def apply_query_policy(cfg) -> None:
+    """Pin the exact/approx query policy from ``cfg.EXACT_QUERIES``.
+
+    Must run BEFORE any model function is traced (the policy is module
+    state baked in at trace time). ``None`` keeps the per-backend default.
+    The parity recipe sets ``EXACT_QUERIES: true`` so its results use the
+    reference-exact neighbour semantics even on TPU.
+    """
+    global EXACT_QUERIES
+    if getattr(cfg, 'EXACT_QUERIES', None) is not None:
+        EXACT_QUERIES = bool(cfg.EXACT_QUERIES)
+
+
 # ---------------------------------------------------------------------------
 # Furthest point sampling
 # ---------------------------------------------------------------------------
@@ -267,15 +280,19 @@ def _ball_from_d2_approx(d2: jnp.ndarray, radius: float, nsample: int,
     radius test stays exact (it runs on the f32 ``d2`` before the cast); only
     the -iota tie-break keys round, which biases *which* in-radius points a
     >nsample ball keeps — order-invariant for the downstream sample-max.
-    The -2N empty sentinel is a power of two, exact in bf16 up to N=2^14.
+    Validity is tested against the sentinel IN the (rounded) key dtype:
+    sentinel slots compare equal to it, and every valid key ``-iota >=
+    -(N-1)`` sits strictly above ``key_dtype(-2N)`` for any N, so the test
+    is exact even when -2N itself is not representable.
     """
     N = d2.shape[-1]
     mask = d2 < radius * radius
     iota = -jnp.arange(N, dtype=jnp.float32).astype(key_dtype)
-    keys = jnp.where(mask, iota, jnp.asarray(-2.0 * N, key_dtype))
+    sent = jnp.asarray(-2.0 * N, key_dtype)
+    keys = jnp.where(mask, iota, sent)
     v, idx = lax.approx_max_k(keys, nsample, recall_target=0.95)
     idx = idx.astype(jnp.int32)
-    valid = v.astype(jnp.float32) > -2.0 * N
+    valid = v > sent.astype(v.dtype)
     cnt = jnp.sum(valid, axis=-1)
     first = idx[..., 0:1]
     idx = jnp.where(valid, idx, first)

@@ -32,7 +32,12 @@ def roipool3d(
     :param features: (B, N, C)
     :param boxes3d: (B, M, 7)
     :return: pooled_xyz (B, M, S, 3) in xyz dtype,
-        pooled_feats (B, M, S, C) in features dtype, empty_flag (B, M) int32
+        pooled_feats (B, M, S, C) in features dtype, empty_flag (B, M) int32,
+        cnt (B, M) int32 in-box point count (approx path: points actually
+        recovered). On the exact path slots are cyclically duplicated; on
+        the approx path slots [0, min(cnt, S)) hold the distinct points and
+        the rest repeat slot 0 — consumers that weight by multiplicity
+        (mask_score) must reweight using ``cnt`` (see proposal_target_layer).
 
     The exact path reproduces the CUDA first-S-by-index selection
     (roipool3d_kernel.cu:123-160) via a full top_k. On TPU the default is
@@ -83,9 +88,10 @@ def roipool3d(
         # approx path: pad short boxes by repeating the FIRST in-box point
         # (the ball_query pad policy) instead of cycling. The distinct-point
         # set per box is identical — slots [0, cnt) hold every found point
-        # either way and the RCNN consumes the pool set-wise (per-row MLP +
-        # sample-max), so only duplicate multiplicity differs. Cycling costs
-        # a (B, M, S) lane-axis take_along_axis, which XLA lowers as a slow
+        # either way; the RCNN tower consumes the pool set-wise (per-row MLP
+        # + sample-max), and the one multiplicity-sensitive consumer
+        # (mask_score) reweights with the returned cnt. Cycling costs a
+        # (B, M, S) lane-axis take_along_axis, which XLA lowers as a slow
         # per-lane gather (~5.5 ms/B8 — tools/profile_roipool_pieces.py);
         # the pad is a pure select.
         pad = first_k[..., 0:1]
@@ -118,4 +124,4 @@ def roipool3d(
     empty = empty_flag[..., None, None] > 0
     pooled_xyz = jnp.where(empty, 0.0, pooled_xyz)
     pooled_feats = jnp.where(empty, 0, pooled_feats)
-    return pooled_xyz, pooled_feats, empty_flag
+    return pooled_xyz, pooled_feats, empty_flag, cnt

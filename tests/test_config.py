@@ -71,3 +71,24 @@ def test_base_include():
                                    'LI_Fusion_with_attention_use_ce_loss_iou_branch.yaml'))
     assert cfg.USE_IOU_BRANCH is True
     assert cfg.LI_FUSION.ENABLED is True  # inherited from _BASE_
+
+
+def test_exact_queries_knob_applies():
+    """Parity recipe pins EXACT_QUERIES true; apply_query_policy transfers
+    it to the trace-time module state (VERDICT r1 / review: the yaml's
+    'exact queries' claim must actually bind on TPU hosts)."""
+    from epnet_tpu.config import load_config
+    from epnet_tpu.ops import pointops
+
+    cfg = load_config('cfgs/LI_Fusion_with_attention_use_ce_loss.yaml')
+    assert cfg.EXACT_QUERIES is True
+
+    old = pointops.EXACT_QUERIES
+    try:
+        pointops.apply_query_policy(cfg)
+        assert pointops.EXACT_QUERIES is True
+        # None leaves the pinned policy untouched
+        pointops.apply_query_policy(cfg.merged({'EXACT_QUERIES': None}))
+        assert pointops.EXACT_QUERIES is True
+    finally:
+        pointops.EXACT_QUERIES = old

@@ -143,9 +143,9 @@ def test_roipool3d_bf16_packed_gather(rng):
     boxes[..., 2] = rng.uniform(-8, 8, (B, M))
     boxes[..., 3:6] = rng.uniform(2.0, 5.0, (B, M, 3))
 
-    px32, pf32, e32 = roipool3d(pts, feats, boxes, 0.5, sampled_pt_num=S,
+    px32, pf32, e32, c32 = roipool3d(pts, feats, boxes, 0.5, sampled_pt_num=S,
                                 exact=True)
-    px16, pf16, e16 = roipool3d(pts, jnp.asarray(feats, jnp.bfloat16), boxes,
+    px16, pf16, e16, c16 = roipool3d(pts, jnp.asarray(feats, jnp.bfloat16), boxes,
                                 0.5, sampled_pt_num=S, exact=True)
     np.testing.assert_array_equal(np.asarray(e32), np.asarray(e16))
     np.testing.assert_array_equal(np.asarray(px32), np.asarray(px16))
@@ -177,7 +177,7 @@ def test_roipool3d_matches_oracle(rng):
     boxes[:, -1, 0] = 100.0
 
     extra = 0.5
-    pxyz, pfeat, empty = roipool3d(pts, feats, boxes, extra, sampled_pt_num=S,
+    pxyz, pfeat, empty, cnt = roipool3d(pts, feats, boxes, extra, sampled_pt_num=S,
                                    exact=True)
     pooled = np.concatenate([np.asarray(pxyz), np.asarray(pfeat)], axis=-1)
     empty = np.asarray(empty)
@@ -245,9 +245,14 @@ def test_ball_query_nested_nearest_prefix(rng):
     assert cnts[0][1, 0] == 0 and cnts[1][1, 0] == 0
 
 
-def test_sa_module_nested_matches_per_scale_nearest(rng):
+@pytest.mark.parametrize('ns', [[4, 8], [8, 8]])
+def test_sa_module_nested_matches_per_scale_nearest(rng, ns):
     """SAModuleMSG's nested grouping must equal the same module fed by
-    per-scale nearest-first queries computed independently (exact top_k)."""
+    per-scale nearest-first queries computed independently (exact top_k).
+
+    ns=[8,8]: an inner scale with nsample equal to the outermost must STILL
+    apply its (smaller) radius slot-select (regression: the prefix select
+    used to early-return on matching widths)."""
     import jax
     import jax.numpy as jnp
     from epnet_tpu.models.pointnet2 import SAModuleMSG
@@ -256,7 +261,7 @@ def test_sa_module_nested_matches_per_scale_nearest(rng):
     B, N, C = 2, 64, 4
     xyz = rng.randn(B, N, 3).astype(np.float32)
     feats = rng.randn(B, N, C).astype(np.float32)
-    radii, ns = [0.8, 1.6], [4, 8]
+    radii = [0.8, 1.6]
     mod = SAModuleMSG(npoint=16, radii=radii, nsamples=ns,
                       mlps=[[8, 8], [8, 8]], bn=False)
     params = mod.init(jax.random.PRNGKey(0), jnp.asarray(xyz),
@@ -275,7 +280,7 @@ def test_sa_module_nested_matches_per_scale_nearest(rng):
     cen = nx
     d2 = np.sum((cen[:, :, None, :] - xyz[:, None, :, :]) ** 2, -1)  # (B,M,N)
     outs = []
-    for r, s, width in zip(radii, ns, (8, 8)):
+    for r, s in zip(radii, ns):
         idx = np.zeros((B, 16, s), np.int64)
         for b in range(B):
             for m in range(16):
@@ -349,7 +354,7 @@ def test_roipool3d_approx_pad_policy(rng):
     boxes[:, -1, 0] = 100.0  # guaranteed empty
 
     extra = 0.5
-    pxyz, pfeat, empty = roipool3d(pts, feats, boxes, extra, sampled_pt_num=S,
+    pxyz, pfeat, empty, cnt = roipool3d(pts, feats, boxes, extra, sampled_pt_num=S,
                                    exact=False)
     pooled = np.concatenate([np.asarray(pxyz), np.asarray(pfeat)], axis=-1)
     empty = np.asarray(empty)
@@ -374,3 +379,35 @@ def test_roipool3d_approx_pad_policy(rng):
                 pooled[b, m, len(sel):],
                 np.broadcast_to(table[b][sel[0]], (S - len(sel), 3 + C)),
                 rtol=1e-6)
+
+
+def test_roipool3d_approx_mask_score_reweighting(rng):
+    """The cyclic-multiplicity reweighting used by proposal_target_layer on
+    the approx (repeat-first-pad) layout must reproduce the reference
+    statistic sum(cyc-dup seg)/S (proposal_target_layer.py:43) exactly when
+    the same point set is recovered."""
+    import jax.numpy as jnp
+    from epnet_tpu.ops.roipool3d import roipool3d
+
+    B, N, M, S, C = 2, 200, 6, 16, 2
+    pts = rng.uniform(-6, 6, (B, N, 3)).astype(np.float32)
+    feats = rng.rand(B, N, C).astype(np.float32)
+    boxes = np.zeros((B, M, 7), np.float32)
+    boxes[..., 0] = rng.uniform(-5, 5, (B, M))
+    boxes[..., 2] = rng.uniform(-5, 5, (B, M))
+    boxes[..., 3:6] = rng.uniform(1.0, 3.0, (B, M, 3))
+    boxes[:, -1, 0] = 100.0  # empty box
+
+    _, pf_e, _, _ = roipool3d(pts, feats, boxes, 0.2, sampled_pt_num=S,
+                              exact=True)
+    _, pf_a, _, cnt = roipool3d(pts, feats, boxes, 0.2, sampled_pt_num=S,
+                                exact=False)
+    want = np.asarray(jnp.sum(pf_e[..., 0], axis=-1) / S)
+
+    c = np.clip(np.minimum(np.asarray(cnt), S), 1, None)
+    slot = np.arange(S)
+    w = np.where(slot[None, None] < c[..., None],
+                 (S // c)[..., None] + (slot[None, None] < (S % c)[..., None]),
+                 0).astype(np.float32)
+    got = np.sum(np.asarray(pf_a[..., 0]) * w, axis=-1) / S
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

@@ -149,6 +149,9 @@ def main():
     else:
         cfg = cfg.merged({'RPN': {'ENABLED': False}, 'RCNN': {'ENABLED': True}})
 
+    from epnet_tpu.ops.pointops import apply_query_policy
+    apply_query_policy(cfg)  # before any tracing: policy is trace-time state
+
     out = args.output_dir or 'output/eval'
     os.makedirs(out, exist_ok=True)
     logger = make_logger(os.path.join(out, 'eval.log'))

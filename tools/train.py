@@ -97,6 +97,9 @@ def main():
     cfg = load_config(args.cfg_file, overrides)
     cfg = apply_train_mode(cfg, args.train_mode)
 
+    from epnet_tpu.ops.pointops import apply_query_policy
+    apply_query_policy(cfg)  # before any tracing: policy is trace-time state
+
     tag = os.path.splitext(os.path.basename(args.cfg_file))[0]
     out_dir = args.output_dir or os.path.join('output', args.train_mode, tag)
     ckpt_dir = os.path.join(out_dir, 'ckpt')

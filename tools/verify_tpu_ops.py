@@ -119,9 +119,9 @@ def main():
         jnp.zeros((2, 16, 1)),
         jax.random.uniform(k2, (2, 16, 1), jnp.float32, -15, 15),
         jnp.full((2, 16, 3), 4.0), jnp.zeros((2, 16, 1))], axis=-1)
-    px32, pf32, e32 = roipool3d(rp_pts, rp_feats, rp_boxes, 0.5,
+    px32, pf32, e32, _ = roipool3d(rp_pts, rp_feats, rp_boxes, 0.5,
                                 sampled_pt_num=32)
-    px16, pf16, e16 = roipool3d(rp_pts, rp_feats.astype(jnp.bfloat16),
+    px16, pf16, e16, _ = roipool3d(rp_pts, rp_feats.astype(jnp.bfloat16),
                                 rp_boxes, 0.5, sampled_pt_num=32)
     xyz_exact = bool(jnp.array_equal(px32, px16))
     feat_exact = bool(jnp.array_equal(pf32.astype(jnp.bfloat16), pf16))
