@@ -71,14 +71,13 @@ def make_joint_eval_step(cfg: Config, model: EPNet):
 
         def per_image(args):
             boxes, raw, mask = args
-            order = jnp.argsort(~mask)  # valid first, stable
-            boxes_s = boxes[order]
-            raw_s = jnp.where(mask[order], raw[order], -jnp.inf)
-            cnt = jnp.sum(mask)
-            bev = boxes3d_to_bev(boxes_s)
-            idx, n = nms_bev(bev, raw_s, cfg.RCNN.NMS_THRESH, max_keep=M,
-                             rotated=True, num_valid=cnt)
-            return boxes_s[idx], raw_s[idx], n
+            # nms_bev sorts by score internally; -inf-masked dummies sort
+            # last and num_valid stops the scan before them
+            scores = jnp.where(mask, raw, -jnp.inf)
+            idx, n = nms_bev(boxes3d_to_bev(boxes), scores,
+                             cfg.RCNN.NMS_THRESH, max_keep=M,
+                             rotated=True, num_valid=jnp.sum(mask))
+            return boxes[idx], scores[idx], n
 
         final_boxes, final_scores, final_counts = jax.lax.map(
             per_image, (pred, raw_scores, keep_mask))
@@ -98,16 +97,20 @@ def make_joint_eval_step(cfg: Config, model: EPNet):
             gt_valid = jnp.any(gt != 0, axis=-1)  # (B, G)
 
             def recall_one(args):
-                pred_b, roi_b, gt_b, gv = args
-                iou_p = boxes_iou3d(pred_b, gt_b)      # (M, G)
-                iou_r = boxes_iou3d(roi_b, gt_b)
+                pred_b, roi_b, gt_b, gv, rv = args
+                # zero-padded roi slots decode to spurious mean-size boxes
+                # near the origin — exclude them from the recall max
+                iou_p = boxes_iou3d(pred_b, gt_b) * rv[:, None]  # (M, G)
+                iou_r = boxes_iou3d(roi_b, gt_b) * rv[:, None]
                 gt_max_p = jnp.max(iou_p, axis=0)
                 gt_max_r = jnp.max(iou_r, axis=0)
                 rec_p = jnp.stack([jnp.sum((gt_max_p > t) & gv) for t in THRESH_LIST])
                 rec_r = jnp.stack([jnp.sum((gt_max_r > t) & gv) for t in THRESH_LIST])
                 return rec_p, rec_r
 
-            rec_p, rec_r = jax.lax.map(recall_one, (pred, rois, gt, gt_valid))
+            rec_p, rec_r = jax.lax.map(
+                recall_one,
+                (pred, rois, gt, gt_valid, roi_valid.astype(pred.dtype)))
             res['recall_pred'] = jnp.sum(rec_p, axis=0)
             res['recall_roi'] = jnp.sum(rec_r, axis=0)
             res['gt_count'] = jnp.sum(gt_valid)

@@ -215,15 +215,22 @@ def _select_thresholds(scores: np.ndarray, num_gt: int) -> np.ndarray:
 
 
 def eval_class(gt_annos, dt_annos, cls_name: str, difficulty: int, metric: int,
-               min_overlap: float, compute_aos: bool = False):
-    """Precision/recall/AOS curves for one (class, difficulty, metric)."""
+               min_overlap: float, compute_aos: bool = False, overlaps=None):
+    """Precision/recall/AOS curves for one (class, difficulty, metric).
+
+    ``overlaps`` optionally carries per-frame dt-gt overlap matrices —
+    they depend only on the metric, so callers sweeping difficulties reuse
+    one set instead of re-running the rotated-IoU sweep (the dominant host
+    cost) three times.
+    """
     assert len(gt_annos) == len(dt_annos)
     cls_name = cls_name.lower()
     frames = []
     total_valid_gt = 0
-    for gt, dt in zip(gt_annos, dt_annos):
+    for i, (gt, dt) in enumerate(zip(gt_annos, dt_annos)):
         n_valid, ig_gt, ig_dt, dc = _clean(gt, dt, cls_name, difficulty)
-        ov = _metric_overlap(dt, gt, metric)
+        ov = (overlaps[i] if overlaps is not None
+              else _metric_overlap(dt, gt, metric))
         frames.append((ov, gt, dt, ig_gt, ig_dt, dc))
         total_valid_gt += n_valid
 
@@ -289,10 +296,14 @@ def get_official_eval_result(gt_annos, dt_annos, classes, use_aos: bool = True):
         t = MIN_OVERLAPS[key]['strict']
         res = {}
         for metric, name in ((0, 'bbox'), (1, 'bev'), (2, '3d')):
+            # overlaps are difficulty-independent: compute once per metric
+            ovs = [_metric_overlap(dt, gt, metric)
+                   for gt, dt in zip(gt_annos, dt_annos)]
             aps = []
             for diff in (0, 1, 2):
                 r = eval_class(gt_annos, dt_annos, key, diff, metric,
-                               t[metric], compute_aos=use_aos and metric == 0)
+                               t[metric], compute_aos=use_aos and metric == 0,
+                               overlaps=ovs)
                 aps.append(map_r40(r['precision']))
                 if metric == 0 and use_aos:
                     res.setdefault('aos', []).append(map_r40(r['aos']))

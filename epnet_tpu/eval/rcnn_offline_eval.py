@@ -2,9 +2,10 @@
 
 Rebuild of ``eval_one_epoch_rcnn`` (``/root/reference/tools/eval_rcnn.py:
 278-495``): pooled roi samples come from ``get_proposal_from_file``
-(dumped rpn features + proposal txts); the RCNN refines them, scores fuse
-with the roi scores, rotated NMS + KITTI txt output + AP follow. Frames are
-padded to a fixed roi budget so one jitted program serves all frames.
+(dumped rpn features + proposal txts); the RCNN refines and re-scores them
+(raw rcnn_cls only — the reference does not fuse roi scores either),
+rotated NMS + KITTI txt output + AP follow. Frames are padded to a fixed
+roi budget so one jitted program serves all frames.
 """
 
 from __future__ import annotations
@@ -37,9 +38,17 @@ def _unwrap_rcnn(variables):
 def make_rcnn_offline_eval_step(cfg: Config):
     model = RCNNNet(cfg)
 
-    def step(variables, pts_input, rois, roi_scores, n_valid):
+    def step(variables, pts_input, rois, n_valid):
         out = model.apply(_unwrap_rcnn(variables), pts_input, train=False)
-        rcnn_cls = out['rcnn_cls'].reshape(-1)
+        if out['rcnn_cls'].shape[-1] > 1:
+            # multi-class (People) head: objectness = 1 - P(background) as a
+            # logit, matching detect.py's joint-eval handling
+            prob_fg = 1.0 - jax.nn.softmax(
+                out['rcnn_cls'].reshape(MAX_ROIS, -1), axis=-1)[..., 0]
+            prob_fg = jnp.clip(prob_fg, 1e-7, 1.0 - 1e-7)
+            rcnn_cls = jnp.log(prob_fg) - jnp.log1p(-prob_fg)
+        else:
+            rcnn_cls = out['rcnn_cls'].reshape(-1)
         rcnn_reg = out['rcnn_reg']
         if cfg.USE_IOU_BRANCH:
             iou_b = jnp.clip(out['rcnn_iou_branch'].reshape(-1), 1e-4, None)
@@ -83,12 +92,10 @@ def evaluate_rcnn_offline(cfg: Config, variables, dataset, result_dir: str,
         S, C = s['pts_input'].shape[1], s['pts_input'].shape[2]
         pts = np.zeros((MAX_ROIS, S, C), np.float32)
         rois = np.zeros((MAX_ROIS, 7), np.float32)
-        scores = np.zeros((MAX_ROIS,), np.float32)
         pts[:m] = s['pts_input'][:m]
         rois[:m] = s['roi_boxes3d'][:m]
-        scores[:m] = s['roi_scores'][:m]
         pred, sc, cnt = jax.device_get(step(
-            variables, pts, rois, scores, np.int32(m)))
+            variables, pts, rois, np.int32(m)))
         cnt = int(cnt)
         total += cnt
         save_kitti_format(final_dir, sid, dataset.get_calib(sid),

@@ -148,6 +148,9 @@ def make_eval_step(cfg: Config, model_eval: EPNet):
 # ---------------------------------------------------------------------------
 
 def save_checkpoint(ckpt_dir: str, state: TrainState, epoch: int, keep: int = 30):
+    """Save and rotate: keep at most ``keep`` checkpoints, deleting the
+    oldest — the reference's max_ckpt_save_num retention
+    (train_utils.py:47-55)."""
     import orbax.checkpoint as ocp
 
     ckpt_dir = os.path.abspath(ckpt_dir)
@@ -155,6 +158,13 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, epoch: int, keep: int = 30
     path = os.path.join(ckpt_dir, f'checkpoint_epoch_{epoch}')
     with ocp.StandardCheckpointer() as cp:
         cp.save(path, {'state': jax.device_get(state), 'epoch': epoch}, force=True)
+    existing = sorted(
+        (d for d in os.listdir(ckpt_dir) if d.startswith('checkpoint_epoch_')
+         and d.split('_')[-1].isdigit()),
+        key=lambda d: int(d.split('_')[-1]))
+    for old in existing[:max(len(existing) - keep, 0)]:
+        import shutil
+        shutil.rmtree(os.path.join(ckpt_dir, old), ignore_errors=True)
     return path
 
 
@@ -168,6 +178,21 @@ def load_checkpoint(path: str, state: TrainState):
     return restored['state'], restored['epoch']
 
 
+def _merge_saved(dst, src):
+    """Key-intersection copy of ``src`` leaves into the ``dst`` tree."""
+    if isinstance(dst, dict):
+        out = {}
+        for k, v in dst.items():
+            if isinstance(src, dict) and k in src:
+                out[k] = _merge_saved(v, src[k])
+            else:
+                out[k] = v
+        return out
+    if src is not None and np.shape(src) == np.shape(dst):
+        return jnp.asarray(src, jnp.asarray(dst).dtype)
+    return dst
+
+
 def restore_partial(path: str, state: TrainState) -> TrainState:
     """Warm start: copy every leaf whose path exists in the checkpoint —
     the reference's state-dict key-intersection load (train_utils.py:93-109),
@@ -178,23 +203,35 @@ def restore_partial(path: str, state: TrainState) -> TrainState:
         raw = cp.restore(os.path.abspath(path))
     saved = raw['state']
 
-    def merge(dst, src):
-        if isinstance(dst, dict):
-            out = {}
-            for k, v in dst.items():
-                if isinstance(src, dict) and k in src:
-                    out[k] = merge(v, src[k])
-                else:
-                    out[k] = v
-            return out
-        if src is not None and np.shape(src) == np.shape(dst):
-            return jnp.asarray(src, jnp.asarray(dst).dtype)
-        return dst
-
     import flax
-    params = merge(flax.core.unfreeze(state.params), saved.get('params', {}))
-    bs = merge(flax.core.unfreeze(state.batch_stats), saved.get('batch_stats', {}))
+    params = _merge_saved(flax.core.unfreeze(state.params),
+                          saved.get('params', {}))
+    bs = _merge_saved(flax.core.unfreeze(state.batch_stats),
+                      saved.get('batch_stats', {}))
     return state.replace(params=params, batch_stats=bs)
+
+
+def restore_variables(path: str, variables: Dict) -> tuple:
+    """Restore {'params', 'batch_stats'} for inference from a full training
+    checkpoint (key-intersection, optimizer state ignored). Unlike
+    ``load_checkpoint`` this needs no TrainState/optimizer and no TRAIN-mode
+    init — eval CLIs restore into a TEST-mode ``model.init`` tree, which the
+    label-less test split can build (the TRAIN forward path reads gt boxes).
+    Returns (variables, saved_epoch)."""
+    import flax
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as cp:
+        raw = cp.restore(os.path.abspath(path))
+    saved = raw['state']
+    out = {
+        'params': _merge_saved(flax.core.unfreeze(variables['params']),
+                               saved.get('params', {})),
+        'batch_stats': _merge_saved(
+            flax.core.unfreeze(variables.get('batch_stats', {})),
+            saved.get('batch_stats', {})),
+    }
+    return out, int(raw.get('epoch', 0))
 
 
 # ---------------------------------------------------------------------------

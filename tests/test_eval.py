@@ -132,3 +132,24 @@ def test_van_gt_is_ignored_not_fp():
     _, withv = get_official_eval_result(gt, dt_with_van, 'Car')
     assert abs(clean['Car']['3d'][0] - withv['Car']['3d'][0]) < 1.0
     assert clean['Car']['3d'][0] > 90.0
+
+
+def test_load_variables_on_labelless_batch(tmp_path):
+    """Eval init must work on a TEST-split batch that carries NO gt fields
+    (regression: create_train_state init'd with train=True, whose forward
+    path reads batch['gt_boxes3d'] -> KeyError on `--test`)."""
+    import jax
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tools'))
+    from eval import load_variables
+    from tiny import synthetic_batch, tiny_config
+
+    cfg = tiny_config()
+    rng = np.random.RandomState(0)
+    batch = synthetic_batch(rng, cfg, batch=1, with_gt=False)
+    for k in ('gt_boxes3d', 'rpn_cls_label', 'rpn_reg_label'):
+        assert k not in batch, k
+    variables, epoch = load_variables(cfg, None, batch)
+    assert epoch == 0
+    assert 'params' in variables
+    assert jax.tree_util.tree_leaves(variables['params'])

@@ -60,18 +60,22 @@ def make_logger(log_file):
 
 
 def load_variables(cfg, ckpt_path, sample_batch):
-    """Initialize the eval model and restore checkpointed params."""
+    """Initialize the eval model (TEST mode, train=False — the label-less
+    test split cannot build a TRAIN batch) and restore checkpointed params."""
     import jax
 
     from epnet_tpu.models.epnet import EPNet
-    from epnet_tpu.train.trainer import create_train_state, load_checkpoint
+    from epnet_tpu.train.trainer import device_batch, restore_variables
 
-    state, model, _ = create_train_state(cfg, jax.random.PRNGKey(0),
-                                         sample_batch, total_steps=1)
+    model = EPNet(cfg, mode='TEST')
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    init_fn = jax.jit(lambda rngs, b: model.init(rngs, b, train=False))
+    variables = init_fn({'params': k1, 'sampling': k2, 'dropout': k3},
+                        device_batch(sample_batch))
     epoch = 0
     if ckpt_path:
-        state, epoch = load_checkpoint(ckpt_path, state)
-    return {'params': state.params, 'batch_stats': state.batch_stats}, epoch
+        variables, epoch = restore_variables(ckpt_path, variables)
+    return variables, epoch
 
 
 def eval_one(cfg, args, ckpt_path, logger):

@@ -139,8 +139,13 @@ def main():
 
     start_epoch = 0
     if args.ckpt:
-        state, start_epoch = load_checkpoint(args.ckpt, state)
-        logger.info('resumed from %s at epoch %d', args.ckpt, start_epoch)
+        state, saved_epoch = load_checkpoint(args.ckpt, state)
+        # checkpoints are written AFTER the saved epoch finishes — resume at
+        # the next one (re-running it would also overrun the OneCycle
+        # schedule, since state.step was restored)
+        start_epoch = saved_epoch + 1
+        logger.info('resumed from %s: epoch %d done, continuing at %d',
+                    args.ckpt, saved_epoch, start_epoch)
     elif args.rpn_ckpt:
         state = restore_partial(args.rpn_ckpt, state)
         logger.info('warm-started rpn weights from %s', args.rpn_ckpt)
