@@ -78,6 +78,15 @@ class RPNConfig:
     # shuffle), dividing the sequential selection depth by the same factor.
     # 1 = exact reference FPS. Quality ablation: tools/sampling_ablation.py.
     FPS_GROUPS: int = 1
+    # TPU extension: block-local SA grouping over Morton-sorted clouds
+    # (ops/block_local.py). When enabled the loader sorts each scene by
+    # 2-D Morton code (ops/morton.py) and the big SA stages replace the
+    # (B, M, N) distance field + ~1M-row gather with contiguous candidate
+    # windows + in-VMEM one-hot gathers. Approx-family policy: must be
+    # train/eval-consistent like FPS_GROUPS / the approx queries.
+    BLOCK_LOCAL: bool = False
+    BLOCK_WINDOW: int = 1024
+    BLOCK_C: int = 128
     SA_CONFIG: SAConfigRPN = field(default_factory=SAConfigRPN)
     FP_MLPS: Tuple[Tuple[int, ...], ...] = ((128, 128), (256, 256), (512, 512), (512, 512))
     CLS_FC: Tuple[int, ...] = (128,)

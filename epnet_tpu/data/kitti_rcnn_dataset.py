@@ -328,12 +328,32 @@ class KittiRCNNDataset(KittiDataset):
     def __len__(self):
         return len(self.sample_id_list)
 
+    def _maybe_morton_sort(self, info):
+        """Sort every per-point array by 2-D Morton code when the model's
+        block-local grouping is on (RPN.BLOCK_LOCAL; see ops/block_local.py).
+
+        Point order is a loader detail — the reference itself returns an
+        arbitrary stratified-shuffle order — so only the *joint* permutation
+        matters. Runs after augmentation so the codes reflect final coords.
+        """
+        if not self.cfg.RPN.BLOCK_LOCAL or 'pts_input' not in info:
+            return info
+        from ..ops.morton import morton_argsort_np
+
+        perm = morton_argsort_np(info['pts_input'][:, :3])
+        n = len(perm)
+        for k in ('pts_input', 'pts_rect', 'pts_features', 'pts_origin_xy',
+                  'rpn_cls_label', 'rpn_reg_label'):
+            if k in info and len(info[k]) == n:
+                info[k] = info[k][perm]
+        return info
+
     def __getitem__(self, index):
         cfg = self.cfg
         if cfg.LI_FUSION.ENABLED and cfg.RPN.ENABLED:
-            return self.get_rpn_with_li_fusion(index)
+            return self._maybe_morton_sort(self.get_rpn_with_li_fusion(index))
         if cfg.RPN.ENABLED:
-            return self.get_rpn_sample(index)
+            return self._maybe_morton_sort(self.get_rpn_sample(index))
         if cfg.RCNN.ENABLED:
             if self.mode == 'TRAIN':
                 if cfg.RCNN.ROI_SAMPLE_JIT:

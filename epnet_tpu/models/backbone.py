@@ -55,6 +55,8 @@ class PointBackbone(nn.Module):
                 npoint=sa.NPOINTS[i], radii=sa.RADIUS[i], nsamples=sa.NSAMPLE[i],
                 mlps=sa.MLPS[i], use_xyz=True, bn=cfg.RPN.USE_BN, dtype=dt,
                 sampler=cfg.RPN.SAMPLING, fps_groups=cfg.RPN.FPS_GROUPS,
+                block_local=cfg.RPN.BLOCK_LOCAL,
+                block_window=cfg.RPN.BLOCK_WINDOW, block_c=cfg.RPN.BLOCK_C,
                 name=f'sa{i}')(l_xyz[i], l_feats[i], train=train, bn_momentum=bn_momentum)
 
             if li.ENABLED:

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.block_local import block_local_available, block_local_group_nested
 from ..ops.pointops import (
     _resolve_exact,
     ball_query,
@@ -82,9 +83,21 @@ class SAModuleMSG(nn.Module):
     dtype: object = None
     sampler: str = 'fps'  # 'fps' | 'random' (see Config.RPN.SAMPLING)
     fps_groups: int = 1   # partitioned FPS (see Config.RPN.FPS_GROUPS)
+    # block-local grouping over Morton-sorted clouds (ops/block_local.py;
+    # requires the loader's RPN.BLOCK_LOCAL point sort)
+    block_local: bool = False
+    block_window: int = 1024
+    block_c: int = 128
 
     @nn.compact
     def __call__(self, xyz, features=None, train: bool = False, bn_momentum=0.1):
+        radii_l = list(self.radii) if self.npoint is not None else []
+        ns_l = list(self.nsamples) if self.npoint is not None else []
+        use_bl = (self.block_local and self.npoint is not None
+                  and radii_l == sorted(radii_l) and ns_l == sorted(ns_l)
+                  and not _resolve_exact(None)
+                  and block_local_available(xyz.shape[1], self.npoint,
+                                            self.block_window, self.block_c))
         if self.npoint is not None:
             if self.sampler == 'random':
                 # input order is a shuffled subset (loader), so the first
@@ -95,6 +108,12 @@ class SAModuleMSG(nn.Module):
             else:
                 fps_idx = furthest_point_sample(xyz, self.npoint,
                                                 groups=self.fps_groups)
+            if use_bl:
+                # centroid order is free downstream (sample-max / FP interp
+                # are order-invariant); ascending order keeps the selected
+                # subset Morton-sorted so every deeper stage stays
+                # block-local too
+                fps_idx = jnp.sort(fps_idx, axis=-1)
             new_xyz = gather_points(xyz, fps_idx)
         else:  # group-all (reference GroupAll, pointnet2_utils.py:283-306)
             fps_idx = None
@@ -109,7 +128,7 @@ class SAModuleMSG(nn.Module):
         # Small tables (N <= 1024) take group_points' one-hot MXU path, where
         # packing is unnecessary (and bitcast bit patterns must not transit
         # the MXU); big tables use one packed row gather.
-        pack = xyz.shape[1] > 1024
+        pack = xyz.shape[1] > 1024 and not use_bl
         gfeats = features
         packed_cols = 0
         if features is not None:
@@ -149,7 +168,13 @@ class SAModuleMSG(nn.Module):
             # of nsamples[-1] rows serves every scale (inner scales are
             # prefix-slices of the distance-sorted outer ball). Exact mode and
             # single-scale stages keep the per-scale paths.
-            if (len(radii) > 1 and radii == sorted(radii) and ns == sorted(ns)
+            if use_bl:
+                # Morton-sorted cloud: the query field and the gather both
+                # collapse to block-local windows (ops/block_local.py)
+                gx_full, gf_full, nested_cnts = block_local_group_nested(
+                    radii, ns, xyz, gfeats, fps_idx, new_xyz,
+                    window=self.block_window, block_c=self.block_c)
+            elif (len(radii) > 1 and radii == sorted(radii) and ns == sorted(ns)
                     and not _resolve_exact(None)):
                 nest_idx, nested_cnts = ball_query_nested(radii, ns, xyz, new_xyz)
                 if pack:

@@ -1,0 +1,155 @@
+"""Block-local nested multi-scale grouping for Morton-sorted clouds.
+
+The TPU speed path for RPN set-abstraction neighbourhoods. The shipped
+approx path (``ball_query_nested`` + ``group_points``) costs two
+HBM-heavy pieces at sa0 shapes (B8, N=16384, M=4096, S=32 on v5e):
+
+  * the (B, M, N) distance field (~134M keys) behind ``approx_max_k``
+    (~6 ms), and
+  * a ~1M-row gather (~7 ns/row regardless of index locality or row
+    width — tools/profile_gather_locality.py), ~10 ms.
+
+With the cloud in Morton order (``ops/morton.py``; the loader sorts each
+scene) and the centroid indices sorted ascending, a centroid's in-radius
+neighbours live in a small contiguous window of the array. Each block of
+``block_c`` consecutive centroids then shares ONE window of ``window``
+consecutive points: extraction is a handful of contiguous slices, the
+ball select is a nearest-first select over the window, and the row
+gather collapses to an in-VMEM one-hot matmul on the MXU. xyz rows ride
+an f32 HIGHEST-precision one-hot (bit-exact selection, like
+``group_points``'s small-table path); bf16 feature rows ride the same
+one-hot at DEFAULT precision (0/1 selection of bf16 values through the
+f32 accumulator is exact).
+
+Selection policy: nearest-first *within the window* — the same
+train/eval-consistent approximation family as the nested approx query
+(see ball_query_nested's policy note and the ROADMAP ablation); in-radius
+points outside the window (Morton discontinuities, window overflow) are
+dropped. The reference semantics being approximated is
+ball_query_gpu.cu:9-67 + group_points_gpu.cu:8-86.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def block_local_available(n: int, m: int, window: int, block_c: int) -> bool:
+    """Static gate: needs clean tiling and a window smaller than the cloud
+    (at or below 1024 points the in-window one-hot path of ``group_points``
+    already applies, so block-local only pays above it)."""
+    return (n > window and n > 1024 and m % block_c == 0
+            and window % 128 == 0)
+
+
+def _d2_normalized(cc, win_xyz, inv):
+    """(NB, C, 3) x (NB, W, 3) -> (NB, C, W) squared distance / r_max^2 via
+    the MXU cross-term (see pointops._pairwise_d2 for the HIGHEST-precision
+    rationale)."""
+    a = cc * inv
+    b = win_xyz * inv
+    aa = jnp.sum(a * a, axis=-1)[..., :, None]
+    bb = jnp.sum(b * b, axis=-1)[..., None, :]
+    ab = jnp.einsum('ncd,nwd->ncw', a, b, precision=lax.Precision.HIGHEST)
+    return aa + bb - 2.0 * ab
+
+
+def block_local_group_nested(
+    radii: Sequence[float],
+    nsamples: Sequence[int],
+    xyz: jnp.ndarray,
+    feats: Optional[jnp.ndarray],
+    parent_idx: jnp.ndarray,
+    new_xyz: jnp.ndarray = None,
+    window: int = 1024,
+    block_c: int = 128,
+    approx: bool = True,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], List[jnp.ndarray]]:
+    """Nested nearest-first grouping over block-local candidate windows.
+
+    :param xyz: (B, N, 3) f32 coordinates, Morton-sorted along N.
+    :param feats: optional (B, N, Cf) features in the compute dtype
+        (bf16 or f32), same ordering.
+    :param parent_idx: (B, M) int32 centroid positions in ``xyz``,
+        sorted ascending per batch element (centroids are cloud points).
+    :param new_xyz: optional pre-gathered (B, M, 3) centroid coordinates
+        (avoids a second gather when the caller already has them).
+    :param approx: nearest-first select via ``approx_max_k`` (fast) vs
+        exact ``top_k`` over the window.
+    :return: ``(gx, gf, cnts)`` — gx (B, M, s_max, 3) xyz rows and gf
+        (B, M, s_max, Cf) feature rows (None when feats is None), both
+        sorted by ascending centroid distance and pad-resolved exactly
+        like ``ball_query_nested`` + ``group_points``; cnts[i] (B, M) =
+        leading slots inside radii[i], for ``nested_prefix_select``.
+    """
+    assert list(radii) == sorted(list(radii))
+    assert list(nsamples) == sorted(list(nsamples))
+    B, N, _ = xyz.shape
+    M = parent_idx.shape[1]
+    NB = M // block_c
+    r_max = float(radii[-1])
+    s_max = int(nsamples[-1])
+    thrs = [-(float(r) / r_max) ** 2 for r in radii[:-1]]
+    inv = jnp.float32(1.0 / r_max)
+
+    parent_idx = lax.stop_gradient(parent_idx)
+    xyz = lax.stop_gradient(xyz)
+
+    # one window per centroid block, centred between its first and last
+    # parent (parents are monotone, so this is the span midpoint)
+    pb = parent_idx.reshape(B, NB, block_c)
+    mid = (pb[:, :, 0] + pb[:, :, -1]) // 2
+    starts = jnp.clip(mid - window // 2, 0, N - window)  # (B, NB)
+
+    if new_xyz is None:
+        new_xyz = jnp.take_along_axis(xyz, parent_idx[..., None], axis=1)
+    cen = lax.stop_gradient(new_xyz)
+    Cf = 0 if feats is None else feats.shape[-1]
+
+    def one(xb, fb, cb, sb):
+        # xb (N, 3), fb (N, Cf) | (N, 0), cb (M, 3), sb (NB,)
+        wx = jax.vmap(lambda s: lax.dynamic_slice(xb, (s, 0), (window, 3)))(sb)
+        d2n = _d2_normalized(cb.reshape(NB, block_c, 3), wx, inv)
+        mask = d2n < 1.0
+        keys = jnp.where(mask, (-d2n).astype(jnp.bfloat16),
+                         jnp.asarray(-4.0, jnp.bfloat16))
+        if approx:
+            v, loc = lax.approx_max_k(keys, s_max, recall_target=0.95)
+        else:
+            v, loc = lax.top_k(keys, s_max)          # nearest-first, exact
+        vf = v.astype(jnp.float32)
+        valid = vf > -2.0
+        cnt = jnp.sum(valid, axis=-1).astype(jnp.int32)
+        # pad-resolve: short balls repeat slot 0 (the nearest hit — the
+        # centroid itself, d2=0, whenever its parent is inside the window);
+        # fully-empty balls (parent drifted out of the window) take row 0
+        loc = jnp.where(valid, loc, loc[..., 0:1])
+        loc = jnp.where(cnt[..., None] > 0, loc, 0)
+        flat = loc.reshape(NB, block_c * s_max)
+        oh = jax.nn.one_hot(flat, window, dtype=jnp.bfloat16)
+        gx = jnp.einsum('nkw,nwc->nkc', oh.astype(jnp.float32), wx,
+                        preferred_element_type=jnp.float32,
+                        precision=lax.Precision.HIGHEST)
+        if Cf:
+            wf = jax.vmap(
+                lambda s: lax.dynamic_slice(fb, (s, 0), (window, Cf)))(sb)
+            prec = (lax.Precision.HIGHEST if fb.dtype == jnp.float32
+                    else lax.Precision.DEFAULT)
+            gf = jnp.einsum('nkw,nwc->nkc', oh.astype(fb.dtype), wf,
+                            preferred_element_type=jnp.float32,
+                            precision=prec).astype(fb.dtype)
+            gf = gf.reshape(M, s_max, Cf)
+        else:
+            gf = jnp.zeros((M, s_max, 0), xb.dtype)
+        cnts = [jnp.sum(vf > t, axis=-1).astype(jnp.int32) for t in thrs]
+        return (gx.reshape(M, s_max, 3), gf,
+                tuple(c.reshape(M) for c in cnts + [cnt]))
+
+    fdummy = (feats if feats is not None
+              else jnp.zeros((B, N, 0), xyz.dtype))
+    gx, gf, cnts = jax.vmap(one)(xyz, fdummy, cen, starts)
+    return gx, (gf if feats is not None else None), list(cnts)

@@ -148,6 +148,17 @@ def synthetic_batch(rng, cfg, batch=2, with_gt=True, structured=False):
         reg[..., 1] -= reg[..., 3] / 2
         reg[..., 0:3] -= pts
         batch_dict['rpn_reg_label'] = reg.astype(np.float32)
+    if getattr(cfg.RPN, 'BLOCK_LOCAL', False):
+        # mirror the loader's Morton sort (kitti_rcnn_dataset
+        # ._maybe_morton_sort) so synthetic batches match what the model's
+        # block-local grouping expects
+        from epnet_tpu.ops.morton import morton_argsort_np
+        for b in range(batch):
+            perm = morton_argsort_np(batch_dict['pts_input'][b, :, :3])
+            for k in ('pts_input', 'pts_origin_xy', 'rpn_cls_label',
+                      'rpn_reg_label'):
+                if k in batch_dict:
+                    batch_dict[k][b] = batch_dict[k][b][perm]
     return batch_dict
 
 
