@@ -26,7 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update('jax_platforms', os.environ.get('ABLATE_PLATFORM', 'cpu'))
+_plat = os.environ.get('ABLATE_PLATFORM', 'cpu')
+if _plat == 'cpu':
+    # only pin CPU explicitly: the axon TPU plugin self-registers and
+    # breaks if jax_platforms names 'tpu' directly
+    jax.config.update('jax_platforms', 'cpu')
 
 import jax.numpy as jnp
 import numpy as np
