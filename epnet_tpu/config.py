@@ -149,6 +149,13 @@ class RCNNConfig:
     USE_BN: bool = False
     DP_RATIO: float = 0.0
     BACKBONE: str = 'pointnet'
+    # windowed block-local SA over the (spatially-ordered) roipool output;
+    # valid only when the loader Morton-sorts clouds (RPN.BLOCK_LOCAL) so
+    # the first-hit pooling preserves spatial order (ops/sa_fused.py
+    # fused_point_mlp_max_win, ops/block_local.py block_local_window_query)
+    BLOCK_LOCAL: bool = False
+    BLOCK_WINDOW: int = 256
+    BLOCK_C: int = 32
     XYZ_UP_LAYER: Tuple[int, ...] = (128, 128)
     NUM_POINTS: int = 512
     SA_CONFIG: SAConfigRCNN = field(default_factory=SAConfigRCNN)

@@ -19,7 +19,7 @@ from ..config import Config
 from ..ops.pointops import gather_points
 from .fusion import (AttenFusionConv, DeconvFusionHead, FusionConv, ImageBlock,
                      feature_gather)
-from .pointnet2 import FPModule, SAModuleMSG
+from .pointnet2 import FPModule, SAModuleMSG, sa_uses_block_local
 
 IMG_SIZE = (1280.0, 384.0)  # fixed KITTI pad size (pointnet2_msg.py:207-210)
 
@@ -40,6 +40,10 @@ class PointBackbone(nn.Module):
         feats = pts_input[..., 3:] if pts_input.shape[-1] > 3 else None
 
         l_xyz, l_feats = [xyz], [feats]
+        # per-level fps indices + Morton-sortedness (level 0 is sorted by the
+        # loader when BLOCK_LOCAL is on; a level stays sorted iff every SA
+        # stage below it took the block-local path, which sorts its picks)
+        l_idx, sorted_ok = [None], [bool(cfg.RPN.BLOCK_LOCAL)]
 
         if li.ENABLED:
             # normalize pixel coords to [-1, 1] (pointnet2_msg.py:207-210)
@@ -75,15 +79,24 @@ class PointBackbone(nn.Module):
 
             l_xyz.append(li_xyz)
             l_feats.append(li_feats_i)
+            l_idx.append(fps_idx)
+            sorted_ok.append(sorted_ok[i] and sa_uses_block_local(
+                cfg.RPN.BLOCK_LOCAL, sa.NPOINTS[i], sa.RADIUS[i],
+                sa.NSAMPLE[i], l_xyz[i].shape[1], cfg.RPN.BLOCK_WINDOW,
+                cfg.RPN.BLOCK_C))
 
-        # FP decoder with skip connections (pointnet2_msg.py:232-235)
+        # FP decoder with skip connections (pointnet2_msg.py:232-235); when
+        # both levels are Morton-sorted, the stage takes the windowed
+        # block-local interpolation (ops/block_local.py)
         n_fp = len(cfg.RPN.FP_MLPS)
-        fp_mods = [FPModule(mlp=cfg.RPN.FP_MLPS[k], bn=cfg.RPN.USE_BN, dtype=dt, name=f'fp{k}')
+        fp_mods = [FPModule(mlp=cfg.RPN.FP_MLPS[k], bn=cfg.RPN.USE_BN, dtype=dt,
+                            block_local=cfg.RPN.BLOCK_LOCAL, name=f'fp{k}')
                    for k in range(n_fp)]
         for i in range(-1, -(n_fp + 1), -1):
             l_feats[i - 1] = fp_mods[i](
                 l_xyz[i - 1], l_xyz[i], l_feats[i - 1], l_feats[i],
-                train=train, bn_momentum=bn_momentum)
+                train=train, bn_momentum=bn_momentum,
+                known_idx=l_idx[i] if sorted_ok[i] else None)
 
         if li.ENABLED:
             # deconv pyramid back to full image resolution, with the 1x1

@@ -15,7 +15,10 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.block_local import block_local_available, block_local_group_nested
+from ..ops.block_local import (block_local_available, block_local_fp_available,
+                               block_local_group_nested,
+                               block_local_three_interp,
+                               block_local_window_query)
 from ..ops.pointops import (
     _resolve_exact,
     ball_query,
@@ -27,8 +30,22 @@ from ..ops.pointops import (
     three_interpolate,
     three_nn,
 )
-from ..ops.sa_fused import fused_point_mlp_max, fused_sa_available
+from ..ops.sa_fused import (fused_point_mlp_max, fused_point_mlp_max_win,
+                            fused_sa_available, fused_sa_win_available)
 from .layers import SharedMLP
+
+
+def sa_uses_block_local(block_local, npoint, radii, nsamples, n,
+                        window, block_c) -> bool:
+    """The SA block-local gate, shared with PointBackbone (which must know
+    whether a stage's fps indices come out ascending-sorted so the FP
+    decoder can ride the windowed interpolation)."""
+    if not block_local or npoint is None:
+        return False
+    radii_l, ns_l = list(radii), list(nsamples)
+    return (radii_l == sorted(radii_l) and ns_l == sorted(ns_l)
+            and not _resolve_exact(None)
+            and block_local_available(n, npoint, window, block_c))
 
 
 def _shared_mlp_params(mlp: SharedMLP, cin: int, n_layers: int):
@@ -91,13 +108,20 @@ class SAModuleMSG(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, features=None, train: bool = False, bn_momentum=0.1):
-        radii_l = list(self.radii) if self.npoint is not None else []
-        ns_l = list(self.nsamples) if self.npoint is not None else []
-        use_bl = (self.block_local and self.npoint is not None
-                  and radii_l == sorted(radii_l) and ns_l == sorted(ns_l)
-                  and not _resolve_exact(None)
-                  and block_local_available(xyz.shape[1], self.npoint,
-                                            self.block_window, self.block_c))
+        use_bl = sa_uses_block_local(self.block_local, self.npoint,
+                                     self.radii, self.nsamples, xyz.shape[1],
+                                     self.block_window, self.block_c)
+        # small spatially-ordered tables (the RCNN tower over roipool output
+        # of a Morton-sorted cloud): windowed fused kernel — block-local
+        # query + VMEM one-hot gather over a window slice of the layer-1
+        # table (ops/sa_fused.py fused_point_mlp_max_win)
+        use_win = (not use_bl and self.block_local and self.npoint is not None
+                   and len(self.mlps) == 1 and len(self.mlps[0]) == 3
+                   and not _resolve_exact(None)
+                   and fused_sa_win_available(
+                       xyz.shape[1], self.npoint, self.nsamples[0],
+                       *self.mlps[0], use_bn=self.bn,
+                       window=self.block_window, block_c=self.block_c))
         if self.npoint is not None:
             if self.sampler == 'random':
                 # input order is a shuffled subset (loader), so the first
@@ -108,7 +132,7 @@ class SAModuleMSG(nn.Module):
             else:
                 fps_idx = furthest_point_sample(xyz, self.npoint,
                                                 groups=self.fps_groups)
-            if use_bl:
+            if use_bl or use_win:
                 # centroid order is free downstream (sample-max / FP interp
                 # are order-invariant); ascending order keeps the selected
                 # subset Morton-sorted so every deeper stage stays
@@ -160,8 +184,12 @@ class SAModuleMSG(nn.Module):
                     gf = gf[..., :features.shape[-1]]
             return gf
 
-        scale_idx = nested_cnts = None
-        if self.npoint is not None:
+        scale_idx = nested_cnts = win_idx = win_starts = None
+        if use_win:
+            win_idx, win_starts, _ = block_local_window_query(
+                self.radii[0], self.nsamples[0], xyz, fps_idx, new_xyz,
+                window=self.block_window, block_c=self.block_c)
+        elif self.npoint is not None:
             radii, ns = list(self.radii), list(self.nsamples)
             # Monotone multi-scale configs on the approx path take the nested
             # nearest-first query: ONE field + ONE approx_max_k + ONE gather
@@ -194,7 +222,8 @@ class SAModuleMSG(nn.Module):
             # (rcnn_net.py:28-42: USE_BN false, 128/256-wide MLPs). The
             # SharedMLP is still constructed (same name, same params) so
             # checkpoints interchange with the unfused path.
-            if (self.npoint is not None and scale_idx is not None
+            if (self.npoint is not None
+                    and (win_idx is not None or scale_idx is not None)
                     and len(hidden) == 3
                     and fused_sa_available(xyz.shape[1], self.npoint,
                                            self.nsamples[i], *hidden,
@@ -214,8 +243,14 @@ class SAModuleMSG(nn.Module):
                     o = jnp.dot(new_xyz.astype(cdt), wk[:3])
                 else:
                     o = jnp.zeros((xyz.shape[0], self.npoint, hidden[0]), cdt)
-                outs.append(fused_point_mlp_max(
-                    y, o, scale_idx[i], w2.astype(cdt), b2, w3.astype(cdt), b3))
+                if win_idx is not None:
+                    outs.append(fused_point_mlp_max_win(
+                        y, o, win_idx, win_starts, w2.astype(cdt), b2,
+                        w3.astype(cdt), b3, self.block_window))
+                else:
+                    outs.append(fused_point_mlp_max(
+                        y, o, scale_idx[i], w2.astype(cdt), b2,
+                        w3.astype(cdt), b3))
                 continue
             if self.npoint is not None:
                 if nested_cnts is not None:
@@ -276,11 +311,28 @@ class FPModule(nn.Module):
     mlp: Sequence[int]
     bn: bool = True
     dtype: object = None
+    # block-local windowed interpolation (ops/block_local.py): valid when
+    # both levels are Morton-sorted and known_idx gives the knowns'
+    # ascending positions in the unknown array (see PointBackbone)
+    block_local: bool = False
+    ublock: int = 512
+    window: int = 256
 
     @nn.compact
     def __call__(self, unknown, known, unknown_feats, known_feats,
-                 train: bool = False, bn_momentum=0.1):
-        if known is not None:
+                 train: bool = False, bn_momentum=0.1, known_idx=None):
+        use_bl = (self.block_local and known is not None
+                  and known_idx is not None and not _resolve_exact(None)
+                  and block_local_fp_available(unknown.shape[1],
+                                               known.shape[1],
+                                               self.ublock, self.window))
+        if use_bl:
+            if self.dtype is not None:
+                known_feats = known_feats.astype(self.dtype)
+            interp = block_local_three_interp(
+                unknown, known, known_feats, known_idx,
+                ublock=self.ublock, window=self.window)
+        elif known is not None:
             dist, idx = three_nn(unknown, known)
             recip = 1.0 / (dist + 1e-8)
             weight = recip / jnp.sum(recip, axis=-1, keepdims=True)

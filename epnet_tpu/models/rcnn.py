@@ -48,7 +48,10 @@ class RCNNNet(nn.Module):
                 radii=(rc.SA_CONFIG.RADIUS[i],),
                 nsamples=(rc.SA_CONFIG.NSAMPLE[i],),
                 mlps=(rc.SA_CONFIG.MLPS[i],),
-                use_xyz=True, bn=rc.USE_BN, dtype=dt, name=f'sa{i}')(
+                use_xyz=True, bn=rc.USE_BN, dtype=dt,
+                block_local=rc.BLOCK_LOCAL,
+                block_window=rc.BLOCK_WINDOW, block_c=rc.BLOCK_C,
+                name=f'sa{i}')(
                     l_xyz, l_feats, train=train, bn_momentum=bn_momentum)
 
         x = l_feats[:, 0, :].astype(jnp.float32)  # (B*R, C) — final pool

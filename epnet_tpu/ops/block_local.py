@@ -38,6 +38,157 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def block_local_fp_available(n: int, m: int, ublock: int, window: int) -> bool:
+    """Static gate for the windowed FP interpolation: the unknown level must
+    tile into ublocks and the known level must hold at least one window."""
+    return n % ublock == 0 and m >= window and window % 128 == 0
+
+
+def block_local_three_interp(
+    unknown: jnp.ndarray,
+    known_xyz: jnp.ndarray,
+    known_feats: jnp.ndarray,
+    known_idx: jnp.ndarray,
+    ublock: int = 512,
+    window: int = 256,
+) -> jnp.ndarray:
+    """Windowed 3-NN inverse-distance interpolation for Morton-sorted levels.
+
+    The TPU speed path for feature propagation (``three_nn`` +
+    ``three_interpolate``; reference ``interpolate_gpu.cu:9-160``). The
+    dense path materializes a (B, N, M) distance field behind
+    ``approx_min_k`` and then row-gathers 3N feature rows (~7-13 ns/row
+    regardless of locality); at fp0 shapes (B8, 16384-in-4096, 128ch) the
+    pair costs ~12 ms/B8 — the single biggest eval line item.
+
+    With both levels in Morton order (the known level is an
+    ascending-sorted FPS subset of the unknown level, see
+    ``SAModuleMSG``), each block of ``ublock`` consecutive unknowns finds
+    its 3 nearest knowns inside one ``window`` of consecutive knowns
+    (located by bisecting ``known_idx``). Inside a block the 3-NN is an
+    exact top-3 over the window, and the interpolation collapses to ONE
+    (ublock, window) x (window, C) matmul: the weight matrix has the 3
+    inverse-distance weights scattered into the neighbour columns — no row
+    gather anywhere. Knowns outside the window (Morton discontinuities)
+    are dropped: the same train/eval-consistent approximation family as
+    ``block_local_group_nested``.
+
+    :param unknown: (B, N, 3) query points, Morton-sorted along N.
+    :param known_xyz: (B, M, 3) reference points = unknown's FPS subset,
+        Morton-sorted (ascending parent index).
+    :param known_feats: (B, M, C) features (f32 or bf16; the weight matmul
+        runs in this dtype like the dense path's cast weights).
+    :param known_idx: (B, M) int32 ascending positions of the knowns in the
+        unknown array.
+    :return: (B, N, C) interpolated features.
+    """
+    B, N, _ = unknown.shape
+    M = known_xyz.shape[1]
+    NBU = N // ublock
+    unknown = lax.stop_gradient(unknown)
+    known_xyz = lax.stop_gradient(known_xyz)
+    known_idx = lax.stop_gradient(known_idx)
+    C = known_feats.shape[-1]
+    fdt = known_feats.dtype
+
+    # window start per unknown block: centre the window on the knowns whose
+    # parent position falls at the block's midpoint
+    mids = (jnp.arange(NBU, dtype=jnp.int32) * ublock + ublock // 2)
+    centers = jax.vmap(lambda ki: jnp.searchsorted(ki, mids))(known_idx)
+    starts = jnp.clip(centers.astype(jnp.int32) - window // 2, 0, M - window)
+
+    def one(ub, kxb, kfb, sb):
+        # ub (N, 3), kxb (M, 3), kfb (M, C), sb (NBU,)
+        wx = jax.vmap(lambda s: lax.dynamic_slice(kxb, (s, 0), (window, 3)))(sb)
+        wf = jax.vmap(lambda s: lax.dynamic_slice(kfb, (s, 0), (window, C)))(sb)
+        d2 = _d2_normalized(ub.reshape(NBU, ublock, 3), wx, jnp.float32(1.0))
+        d2 = jnp.clip(d2, 0.0, None)
+        # exact top-3 min: 3 masked argmin passes (sort-free, VPU-cheap at
+        # window width; mirrors pointops.three_nn's exact path)
+        iota = jnp.arange(window, dtype=jnp.int32)
+        d = d2
+        wmat = jnp.zeros(d2.shape, jnp.float32)
+        recips = []
+        onehots = []
+        for _ in range(3):
+            # min == value at argmin (d2 >= 0, masked slots are +inf); a lane
+            # reduction instead of a take_along_axis lane-gather (which costs
+            # multiple ms at fp0 shapes on TPU)
+            v = jnp.min(d, axis=-1)
+            i = jnp.argmin(d, axis=-1)
+            oh = (iota == i[..., None])
+            recips.append(1.0 / (jnp.sqrt(v) + 1e-8))
+            onehots.append(oh)
+            d = jnp.where(oh, jnp.inf, d)
+        tot = recips[0] + recips[1] + recips[2]
+        for r, oh in zip(recips, onehots):
+            wmat = wmat + jnp.where(oh, (r / tot)[..., None], 0.0)
+        out = jnp.einsum('nuw,nwc->nuc', wmat.astype(fdt), wf,
+                         preferred_element_type=jnp.float32).astype(fdt)
+        return out.reshape(N, C)
+
+    return jax.vmap(one)(unknown, known_xyz, known_feats, starts)
+
+
+def block_local_window_query(
+    radius: float,
+    nsample: int,
+    xyz: jnp.ndarray,
+    parent_idx: jnp.ndarray,
+    new_xyz: jnp.ndarray = None,
+    window: int = 256,
+    block_c: int = 32,
+    align: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Single-scale nearest-first ball query over per-block windows,
+    returning WINDOW-RELATIVE indices (for the windowed fused SA kernel,
+    ``sa_fused.fused_point_mlp_max_win``).
+
+    Same selection policy/approximation family as
+    ``block_local_group_nested`` — nearest-first within the shared window
+    of ``block_c`` consecutive (position-sorted) centroids — but instead
+    of gathering rows it hands the fused kernel ``(idx_rel, starts)`` so
+    the gather happens in VMEM against a ``window``-row slice.
+
+    :param xyz: (T, N, 3) spatially-ordered points (e.g. roipool output of
+        a Morton-sorted cloud — first-hit selection preserves scan order).
+    :param parent_idx: (T, M) int32 centroid positions, ascending per row.
+    :return: (idx_rel (T, M, nsample) int32 in [0, window), starts
+        (T, NB) int32 aligned to ``align``, cnt (T, M) int32).
+    """
+    T, N, _ = xyz.shape
+    M = parent_idx.shape[1]
+    NB = M // block_c
+    parent_idx = lax.stop_gradient(parent_idx)
+    xyz = lax.stop_gradient(xyz)
+    inv = jnp.float32(1.0 / radius)
+
+    pb = parent_idx.reshape(T, NB, block_c)
+    mid = (pb[:, :, 0] + pb[:, :, -1]) // 2
+    starts = jnp.clip(mid - window // 2, 0, N - window)
+    starts = (starts // align) * align  # sublane-aligned dynamic slices
+
+    if new_xyz is None:
+        new_xyz = jnp.take_along_axis(xyz, parent_idx[..., None], axis=1)
+    cen = lax.stop_gradient(new_xyz)
+
+    def one(xb, cb, sb):
+        wx = jax.vmap(lambda s: lax.dynamic_slice(xb, (s, 0), (window, 3)))(sb)
+        d2n = _d2_normalized(cb.reshape(NB, block_c, 3), wx, inv)
+        mask = d2n < 1.0
+        keys = jnp.where(mask, (-d2n).astype(jnp.bfloat16),
+                         jnp.asarray(-4.0, jnp.bfloat16))
+        v, loc = lax.approx_max_k(keys, nsample, recall_target=0.95)
+        valid = v.astype(jnp.float32) > -2.0
+        cnt = jnp.sum(valid, axis=-1).astype(jnp.int32)
+        loc = jnp.where(valid, loc, loc[..., 0:1])
+        loc = jnp.where(cnt[..., None] > 0, loc, 0)
+        return loc.reshape(M, nsample).astype(jnp.int32), cnt.reshape(M)
+
+    idx_rel, cnt = jax.vmap(one)(xyz, cen, starts)
+    return idx_rel, starts.astype(jnp.int32), cnt
+
+
 def block_local_available(n: int, m: int, window: int, block_c: int) -> bool:
     """Static gate: needs clean tiling and a window smaller than the cloud
     (at or below 1024 points the in-window one-hot path of ``group_points``

@@ -202,3 +202,62 @@ def test_sa_module_block_local_close_to_dense_path():
     rel = np.abs(fd - fb) / (np.abs(fd) + 1e-3)
     assert (rel < 0.02).mean() > 0.9, (rel < 0.02).mean()
     assert np.isfinite(fb).all()
+
+
+def test_block_local_fp_interp_exact_when_window_covers_all():
+    """window == M covers every known -> identical neighbours/weights to the
+    exact three_nn + three_interpolate path (f32)."""
+    from epnet_tpu.ops.block_local import block_local_three_interp
+    from epnet_tpu.ops.pointops import three_interpolate, three_nn
+
+    rng = np.random.RandomState(3)
+    pts, _, _ = structured_scene(rng, 1024, n_cars=4)
+    xyz = pts[:, :3].astype(np.float32)
+    xyz = xyz[morton_argsort_np(xyz)]
+    kidx = np.sort(rng.choice(1024, 256, replace=False)).astype(np.int32)
+    known = xyz[kidx]
+    feats = rng.randn(256, 16).astype(np.float32)
+
+    u = jnp.asarray(xyz[None])
+    k = jnp.asarray(known[None])
+    f = jnp.asarray(feats[None])
+    got = block_local_three_interp(u, k, f, jnp.asarray(kidx[None]),
+                                   ublock=128, window=256)
+
+    dist, idx = three_nn(u, k, exact=True)
+    recip = 1.0 / (dist + 1e-8)
+    w = recip / jnp.sum(recip, -1, keepdims=True)
+    want = three_interpolate(f, idx, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_block_local_fp_interp_windowed_close_to_exact():
+    """Realistic window (subset of knowns per block): the vast majority of
+    rows must match the exact interpolation; misses degrade gracefully."""
+    from epnet_tpu.ops.block_local import block_local_three_interp
+    from epnet_tpu.ops.pointops import three_interpolate, three_nn
+
+    rng = np.random.RandomState(4)
+    pts, _, _ = structured_scene(rng, 4096, n_cars=6)
+    xyz = pts[:, :3].astype(np.float32)
+    xyz = xyz[morton_argsort_np(xyz)]
+    kidx = np.sort(rng.choice(4096, 1024, replace=False)).astype(np.int32)
+    known = xyz[kidx]
+    feats = rng.randn(1024, 16).astype(np.float32)
+
+    u = jnp.asarray(xyz[None])
+    k = jnp.asarray(known[None])
+    f = jnp.asarray(feats[None])
+    got = np.asarray(block_local_three_interp(
+        u, k, f, jnp.asarray(kidx[None]), ublock=512, window=256))[0]
+
+    dist, idx = three_nn(u, k, exact=True)
+    recip = 1.0 / (dist + 1e-8)
+    w = recip / jnp.sum(recip, -1, keepdims=True)
+    want = np.asarray(three_interpolate(f, idx, w))[0]
+
+    rel = np.abs(got - want).max(-1) / (np.abs(want).max(-1) + 1e-3)
+    frac_exact = (rel < 1e-4).mean()
+    assert frac_exact > 0.9, frac_exact
+    assert np.isfinite(got).all()

@@ -143,3 +143,109 @@ def test_sa_module_fused_matches_unfused(monkeypatch, use_xyz):
     np.testing.assert_array_equal(np.asarray(ref_idx), np.asarray(got_idx))
     np.testing.assert_allclose(np.asarray(ref_feats), np.asarray(got_feats),
                                rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Windowed variant (fused_point_mlp_max_win): indices are window-relative,
+# the gather reads a per-tile slice of y located by `starts`.
+# ---------------------------------------------------------------------------
+
+def _win_inputs(rng, T=3, N=256, M=32, S=8, NB=4, W=64, C1=128, C2=128,
+                C3=128, dtype=jnp.float32):
+    y = jnp.asarray(rng.randn(T, N, C1), dtype)
+    o = jnp.asarray(rng.randn(T, M, C1) * 0.1, dtype)
+    idx = jnp.asarray(rng.randint(0, W, (T, M, S)), jnp.int32)
+    starts = jnp.asarray(
+        (rng.randint(0, (N - W) // 8 + 1, (T, NB)) * 8), jnp.int32)
+    w2 = jnp.asarray(rng.randn(C1, C2) / np.sqrt(C1), jnp.float32)
+    b2 = jnp.asarray(rng.randn(C2) * 0.01, jnp.float32)
+    w3 = jnp.asarray(rng.randn(C2, C3) / np.sqrt(C2), jnp.float32)
+    b3 = jnp.asarray(rng.randn(C3) * 0.01, jnp.float32)
+    return y, o, idx, starts, w2, b2, w3, b3
+
+
+def _win_to_global(idx, starts, M):
+    NB = starts.shape[1]
+    TM = M // NB
+    return idx + jnp.repeat(starts, TM, axis=1)[..., None]
+
+
+def test_windowed_forward_matches_oracle():
+    from epnet_tpu.ops.sa_fused import fused_point_mlp_max_win
+
+    rng = np.random.RandomState(10)
+    y, o, idx, starts, w2, b2, w3, b3 = _win_inputs(rng)
+    got = fused_point_mlp_max_win(y, o, idx, starts, w2, b2, w3, b3, 64)
+    gidx = _win_to_global(idx, starts, o.shape[1])
+    want = _oracle(y, o, gidx, w2, b2, w3, b3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_windowed_bf16_close():
+    from epnet_tpu.ops.sa_fused import fused_point_mlp_max_win
+
+    rng = np.random.RandomState(11)
+    y, o, idx, starts, w2, b2, w3, b3 = _win_inputs(rng)
+    got = fused_point_mlp_max_win(
+        y.astype(jnp.bfloat16), o.astype(jnp.bfloat16), idx, starts,
+        w2.astype(jnp.bfloat16), b2, w3.astype(jnp.bfloat16), b3, 64)
+    gidx = _win_to_global(idx, starts, o.shape[1])
+    want = _oracle(y, o, gidx, w2, b2, w3, b3)
+    err = np.abs(np.asarray(got, np.float32) - np.asarray(want))
+    assert err.max() / np.abs(np.asarray(want)).max() < 0.05
+
+
+def test_windowed_gradients_match_oracle():
+    from epnet_tpu.ops.sa_fused import fused_point_mlp_max_win
+
+    rng = np.random.RandomState(12)
+    y, o, idx, starts, w2, b2, w3, b3 = _win_inputs(rng, T=2, NB=4)
+    gidx = _win_to_global(idx, starts, o.shape[1])
+
+    def loss_fused(y, o, w2, b2, w3, b3):
+        out = fused_point_mlp_max_win(y, o, idx, starts, w2, b2, w3, b3, 64)
+        return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+
+    def loss_oracle(y, o, w2, b2, w3, b3):
+        out = _oracle(y, o, gidx, w2, b2, w3, b3)
+        return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4, 5))(y, o, w2, b2, w3, b3)
+    go = jax.grad(loss_oracle, argnums=(0, 1, 2, 3, 4, 5))(y, o, w2, b2, w3, b3)
+    for a, b, name in zip(gf, go, ['dy', 'do', 'dw2', 'db2', 'dw3', 'db3']):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_window_query_matches_global_when_local():
+    """When every in-radius neighbour of a block's centroids lies inside its
+    window (tightly sorted cloud, small radius), the windowed query must
+    recover the same neighbour sets as the global ball query."""
+    from epnet_tpu.ops.block_local import block_local_window_query
+    from epnet_tpu.ops.pointops import ball_query
+
+    rng = np.random.RandomState(13)
+    T, N, M = 2, 512, 128
+    # points sorted along x with tiny jitter -> 1D locality
+    x = np.sort(rng.uniform(0, 100, (T, N))).astype(np.float32)
+    xyz = np.stack([x, rng.randn(T, N).astype(np.float32) * 0.01,
+                    rng.randn(T, N).astype(np.float32) * 0.01], -1)
+    pidx = np.sort(rng.choice(N, M, replace=False)).astype(np.int32)
+    pidx = np.broadcast_to(pidx, (T, M)).copy()
+    xj = jnp.asarray(xyz)
+    pj = jnp.asarray(pidx)
+    cen = jnp.take_along_axis(xj, pj[..., None], axis=1)
+
+    idx_rel, starts, cnt = block_local_window_query(
+        0.3, 8, xj, pj, cen, window=256, block_c=32)
+    TM = M // starts.shape[1]
+    gidx = np.asarray(idx_rel) + np.repeat(np.asarray(starts), TM,
+                                           axis=1)[..., None]
+
+    ref = np.asarray(ball_query(0.3, 8, xj, cen, exact=True))
+    match = 0
+    for t in range(T):
+        for m in range(M):
+            match += set(gidx[t, m]) == set(ref[t, m])
+    assert match / (T * M) > 0.95, match / (T * M)

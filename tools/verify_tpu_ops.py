@@ -137,6 +137,35 @@ def main():
     print(f'approx three_nn: sorted fraction={mono:.6f}', flush=True)
     ok &= mono > 0.99
 
+    # windowed fused SA (RCNN tower speed path) vs the dense fused module on
+    # spatially-ordered per-roi clouds: feature agreement on the chip
+    from epnet_tpu.models.pointnet2 import SAModuleMSG
+    ks = jax.random.split(key, 3)
+    T, N = 8, 512
+    rx = jnp.sort(jax.random.uniform(ks[0], (T, N), jnp.float32, -2, 2), 1)
+    rxyz = jnp.stack([rx,
+                      jax.random.uniform(ks[1], (T, N), jnp.float32, -0.8, 0.8),
+                      jax.random.uniform(ks[2], (T, N), jnp.float32, -1, 1)],
+                     -1)
+    rfeats = jax.random.normal(ks[1], (T, N, 128), jnp.bfloat16)
+    kw = dict(npoint=128, radii=(0.2,), nsamples=(64,),
+              mlps=((128, 128, 128),), use_xyz=True, bn=False,
+              dtype=jnp.bfloat16)
+    mod_w = SAModuleMSG(block_local=True, block_window=256, block_c=32, **kw)
+    mod_d = SAModuleMSG(block_local=False, **kw)
+    v = jax.jit(mod_d.init)(jax.random.PRNGKey(7), rxyz, rfeats)
+    nx_d, f_d, idx_d = jax.jit(mod_d.apply)(v, rxyz, rfeats)
+    nx_w, f_w, idx_w = jax.jit(mod_w.apply)(v, rxyz, rfeats)
+    same_set = bool(jnp.array_equal(jnp.sort(idx_d, -1), idx_w))
+    order = jnp.argsort(idx_d, -1)
+    fd = jnp.take_along_axis(f_d, order[..., None], 1).astype(jnp.float32)
+    fw = f_w.astype(jnp.float32)
+    rel = jnp.abs(fd - fw) / (jnp.abs(fd) + 1e-2)
+    close = float(jnp.mean((rel < 0.05).astype(jnp.float32)))
+    ok &= same_set and close > 0.9
+    print(f'windowed fused SA: same centroid set={same_set} '
+          f'feature agreement={close:.4f}', flush=True)
+
     if '--e2e' in sys.argv:
         ok &= e2e_exact_vs_approx()
 
