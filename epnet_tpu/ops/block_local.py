@@ -140,13 +140,13 @@ def block_local_window_query(
     block_c: int = 32,
     align: int = 8,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Single-scale nearest-first ball query over per-block windows,
-    returning WINDOW-RELATIVE indices (for the windowed fused SA kernel,
+    """Single-scale ball query over per-block windows, returning
+    WINDOW-RELATIVE indices (for the windowed fused SA kernel,
     ``sa_fused.fused_point_mlp_max_win``).
 
-    Same selection policy/approximation family as
-    ``block_local_group_nested`` — nearest-first within the shared window
-    of ``block_c`` consecutive (position-sorted) centroids — but instead
+    Selection is a sort-free strided-bucket pick (nearest in-radius point
+    per ``lane % nsample`` bucket — see inline note) within the shared
+    window of ``block_c`` consecutive (position-sorted) centroids; instead
     of gathering rows it hands the fused kernel ``(idx_rel, starts)`` so
     the gather happens in VMEM against a ``window``-row slice.
 
@@ -172,18 +172,38 @@ def block_local_window_query(
         new_xyz = jnp.take_along_axis(xyz, parent_idx[..., None], axis=1)
     cen = lax.stop_gradient(new_xyz)
 
+    assert window % nsample == 0, (window, nsample)
+    n_cand = window // nsample
+
     def one(xb, cb, sb):
         wx = jax.vmap(lambda s: lax.dynamic_slice(xb, (s, 0), (window, 3)))(sb)
-        d2n = _d2_normalized(cb.reshape(NB, block_c, 3), wx, inv)
-        mask = d2n < 1.0
-        keys = jnp.where(mask, (-d2n).astype(jnp.bfloat16),
-                         jnp.asarray(-4.0, jnp.bfloat16))
-        v, loc = lax.approx_max_k(keys, nsample, recall_target=0.95)
-        valid = v.astype(jnp.float32) > -2.0
+        # exact-f32 broadcast-subtract distances: at these tiny K=3 block
+        # matmuls the MXU cross-term path (_d2_normalized, 6-pass HIGHEST)
+        # is ~5x slower than the fused VPU reduce
+        # (tools/profile_sa_win.py)
+        diff = (cb.reshape(NB, block_c, 1, 3) - wx[:, None, :, :]) * inv
+        d2n = jnp.sum(diff * diff, axis=-1)  # (NB, block_c, window)
+        keys = jnp.where(d2n < 1.0, d2n, jnp.inf)
+        # strided-bucket select: slot j keeps the nearest in-radius point
+        # among window lanes {l : l % nsample == j}. Sort-free (the top-k
+        # AGGREGATION dominates approx_max_k at these narrow widths: 10.3 ms
+        # vs 0.2 ms unaggregated — tools/profile_sa_win.py); a contiguous
+        # in-radius run of <= nsample lanes lands in distinct buckets, so
+        # spatially-ordered neighbourhoods survive intact. Crowded balls get
+        # a spatially-stratified subset — the same train/eval-consistent
+        # policy family as the nested nearest-first select.
+        kr = keys.reshape(NB, block_c, n_cand, nsample)
+        vmin = jnp.min(kr, axis=2)                       # (NB, BC, nsample)
+        cstar = jnp.argmin(kr, axis=2).astype(jnp.int32)
+        slot = jnp.arange(nsample, dtype=jnp.int32)
+        idx = cstar * nsample + slot                     # window-relative
+        valid = jnp.isfinite(vmin)
         cnt = jnp.sum(valid, axis=-1).astype(jnp.int32)
-        loc = jnp.where(valid, loc, loc[..., 0:1])
-        loc = jnp.where(cnt[..., None] > 0, loc, 0)
-        return loc.reshape(M, nsample).astype(jnp.int32), cnt.reshape(M)
+        # pad: any in-radius member (the globally nearest lane)
+        pad = jnp.argmin(keys, axis=-1).astype(jnp.int32)
+        idx = jnp.where(valid, idx, pad[..., None])
+        idx = jnp.where(cnt[..., None] > 0, idx, 0)
+        return idx.reshape(M, nsample), cnt.reshape(M)
 
     idx_rel, cnt = jax.vmap(one)(xyz, cen, starts)
     return idx_rel, starts.astype(jnp.int32), cnt

@@ -64,9 +64,15 @@ def roipool3d(
         first_k = -neg_vals  # ascending first-hit indices, padded with N
         cnt = jnp.sum(mask, axis=-1).astype(jnp.int32)  # (B, M)
     else:
-        # f32 keys hold indices < 2^24 exactly; sentinel strictly below all
+        # f32 keys hold indices < 2^24 exactly; sentinel strictly below all.
+        # recall 0.9 (not 0.98): the top-k aggregation dominates at k=512
+        # over 16384 keys (6.2 ms vs 1.4 ms/B8x100 on v5e); the ~10% missed
+        # in-box points in crowded boxes become pad duplicates, the same
+        # selection-policy approximation family as above (train and eval
+        # share it; quality pinned by tests/test_overfit.py + the e2e
+        # ablation in tools/verify_tpu_ops.py).
         keys = jnp.where(mask, -iota.astype(jnp.float32), -2.0 * N)
-        v, first_k = lax.approx_max_k(keys, k, recall_target=0.98)
+        v, first_k = lax.approx_max_k(keys, k, recall_target=0.9)
         found = v > -2.0 * N
         first_k = jnp.where(found, first_k, N).astype(jnp.int32)
         # effective count = points actually recovered (recall misses wrap)

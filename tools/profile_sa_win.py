@@ -88,3 +88,79 @@ def main():
 
 if __name__ == '__main__':
     main()
+
+
+def query_pieces():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    T, N, M, S = 800, 512, 128, 64
+    W, BC = 256, 32
+    NB = M // BC
+    kr = jax.random.PRNGKey(0)
+    ks = jax.random.split(kr, 4)
+    x = jnp.sort(jax.random.uniform(ks[0], (T, N), jnp.float32, -2, 2), 1)
+    xyz = jnp.stack([x,
+                     jax.random.uniform(ks[1], (T, N), jnp.float32, -1, 1),
+                     jax.random.uniform(ks[2], (T, N), jnp.float32, -1, 1)],
+                    -1)
+    pidx = jnp.broadcast_to(jnp.sort(jax.random.choice(
+        ks[3], N, (M,), replace=False)), (T, M))
+    cen = jnp.take_along_axis(xyz, pidx[..., None], 1)
+    starts = (jax.random.randint(ks[2], (T, NB), 0, (N - W) // 8 + 1,
+                                 jnp.int32) * 8)
+
+    def slices_d2(xx, cc, sb):
+        def one(xb, cb, s1):
+            wx = jax.vmap(lambda s: lax.dynamic_slice(xb, (s, 0), (W, 3)))(s1)
+            diff = cb.reshape(NB, BC, 1, 3) - wx[:, None, :, :]
+            return jnp.sum(diff * diff)
+        return jnp.sum(jax.vmap(one)(xx, cc, sb))
+
+    scan_time('winq: slices+d2 only', slices_d2, (xyz, cen, starts))
+
+    def with_amk(xx, cc, sb):
+        def one(xb, cb, s1):
+            wx = jax.vmap(lambda s: lax.dynamic_slice(xb, (s, 0), (W, 3)))(s1)
+            diff = cb.reshape(NB, BC, 1, 3) - wx[:, None, :, :]
+            d2 = jnp.sum(diff * diff, -1)
+            keys = jnp.where(d2 < 1.0, (-d2).astype(jnp.bfloat16),
+                             jnp.asarray(-4.0, jnp.bfloat16))
+            v, loc = lax.approx_max_k(keys, S, recall_target=0.95)
+            return jnp.sum(loc) + jnp.sum(v.astype(jnp.float32))
+        return jnp.sum(jax.vmap(one)(xx, cc, sb))
+
+    scan_time('winq: +approx_max_k', with_amk, (xyz, cen, starts))
+
+    def with_topk(xx, cc, sb):
+        def one(xb, cb, s1):
+            wx = jax.vmap(lambda s: lax.dynamic_slice(xb, (s, 0), (W, 3)))(s1)
+            diff = cb.reshape(NB, BC, 1, 3) - wx[:, None, :, :]
+            d2 = jnp.sum(diff * diff, -1)
+            keys = jnp.where(d2 < 1.0, (-d2).astype(jnp.bfloat16),
+                             jnp.asarray(-4.0, jnp.bfloat16))
+            v, loc = lax.top_k(keys, S)
+            return jnp.sum(loc) + jnp.sum(v.astype(jnp.float32))
+        return jnp.sum(jax.vmap(one)(xx, cc, sb))
+
+    scan_time('winq: +top_k exact', with_topk, (xyz, cen, starts))
+
+    # flat layout: collapse (T, NB) into one batched dim before the select
+    def with_amk_flat(xx, cc, sb):
+        def one(xb, s1):
+            return jax.vmap(lambda s: lax.dynamic_slice(xb, (s, 0), (W, 3)))(s1)
+        wx = jax.vmap(one)(xx, sb).reshape(T * NB, W, 3)
+        cb = cc.reshape(T * NB, BC, 3)
+        diff = cb[:, :, None, :] - wx[:, None, :, :]
+        d2 = jnp.sum(diff * diff, -1)
+        keys = jnp.where(d2 < 1.0, (-d2).astype(jnp.bfloat16),
+                         jnp.asarray(-4.0, jnp.bfloat16))
+        v, loc = lax.approx_max_k(keys, S, recall_target=0.95)
+        return jnp.sum(loc) + jnp.sum(v.astype(jnp.float32))
+
+    scan_time('winq: flat +approx_max_k', with_amk_flat, (xyz, cen, starts))
+
+
+if 'pieces' in sys.argv:
+    query_pieces()
