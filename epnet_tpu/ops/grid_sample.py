@@ -29,11 +29,22 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.custom_vjp
 def grid_sample_points(feature_map: jnp.ndarray, xy_norm: jnp.ndarray) -> jnp.ndarray:
     """
     :param feature_map: (B, H, W, C)  (channels-last for TPU)
     :param xy_norm: (B, N, 2) in [-1, 1], (x, y) order like torch grid_sample
     :return: (B, N, C)
+
+    Custom VJP: the autodiff backward of the patch ``lax.gather`` is a 4-D
+    patch *scatter*, which XLA TPU lowers pathologically (~330 ms added to
+    the B4 train step when it landed — git bisect efbed6c). The hand-written
+    backward re-expresses it as ONE flat row-index scatter-add over the
+    (H*W, C) map with the 4 corner contributions concatenated — the same
+    formulation whose take_along_axis autodiff the pre-patch implementation
+    relied on (~acceptable). No gradient flows to ``xy_norm``: projected
+    point coordinates are loader data in every consumer
+    (pointnet2_msg.py:207-219), so the hat-weight derivative is dead.
     """
     B, H, W, C = feature_map.shape
     x = (xy_norm[..., 0] + 1.0) * 0.5 * (W - 1)
@@ -65,3 +76,38 @@ def grid_sample_points(feature_map: jnp.ndarray, xy_norm: jnp.ndarray) -> jnp.nd
     wx = hat(x, xs, patch.shape[3])  # (B, N, pw)
     w = (wy[..., :, None] * wx[..., None, :]).astype(feature_map.dtype)
     return jnp.einsum('bnij,bnijc->bnc', w, patch)
+
+
+def _gs_fwd(feature_map, xy_norm):
+    # zero-size prototype carries the map's static shape/dtype into the bwd
+    return (grid_sample_points.__wrapped__(feature_map, xy_norm),
+            (xy_norm, feature_map[0:0]))
+
+
+def _gs_bwd(res, g):
+    xy_norm, proto = res
+    B = xy_norm.shape[0]
+    _, H, W, C = proto.shape
+    fdt = proto.dtype
+    x = (xy_norm[..., 0] + 1.0) * 0.5 * (W - 1)
+    y = (xy_norm[..., 1] + 1.0) * 0.5 * (H - 1)
+    xs = jnp.clip(jnp.floor(x), 0, max(W - 2, 0)).astype(jnp.int32)
+    ys = jnp.clip(jnp.floor(y), 0, max(H - 2, 0)).astype(jnp.int32)
+    ph, pw = min(2, H), min(2, W)
+
+    gf = g.astype(jnp.float32)
+    flats, vals = [], []
+    for i in range(ph):
+        for j in range(pw):
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(y - (ys + i)))
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(x - (xs + j)))
+            flats.append((ys + i) * W + (xs + j))          # (B, N), in-bounds
+            vals.append((wy * wx)[..., None] * gf)         # (B, N, C)
+    flat = jnp.concatenate(flats, axis=1)
+    val = jnp.concatenate(vals, axis=1)
+    df = jax.vmap(lambda fl, v: jnp.zeros((H * W, C), jnp.float32)
+                  .at[fl].add(v))(flat, val)
+    return df.reshape(B, H, W, C).astype(fdt), jnp.zeros_like(xy_norm)
+
+
+grid_sample_points.defvjp(_gs_fwd, _gs_bwd)

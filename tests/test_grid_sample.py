@@ -46,3 +46,42 @@ def test_gradients_flow():
     g = jax.grad(lambda f: jnp.sum(grid_sample_points(f, xy) ** 2))(fm)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.sum(jnp.abs(g))) > 0
+
+
+def test_custom_vjp_matches_autodiff_oracle():
+    """The hand-written backward (flat row scatter-add of the 4 corner
+    contributions) must equal autodiff of the plain 4-corner forward."""
+    import jax
+
+    rng = np.random.RandomState(7)
+    f = jnp.asarray(rng.randn(2, 6, 7, 5), jnp.float32)
+    xy = jnp.asarray(rng.uniform(-1.2, 1.2, (2, 11, 2)), jnp.float32)
+
+    def fwd_ref(f_):
+        B, H, W, C = f_.shape
+        x = (xy[..., 0] + 1.0) * 0.5 * (W - 1)
+        y = (xy[..., 1] + 1.0) * 0.5 * (H - 1)
+        xs = jnp.clip(jnp.floor(x), 0, W - 2).astype(jnp.int32)
+        ys = jnp.clip(jnp.floor(y), 0, H - 2).astype(jnp.int32)
+        out = 0
+        for i in range(2):
+            for j in range(2):
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(y - (ys + i)))
+                wx = jnp.maximum(0.0, 1.0 - jnp.abs(x - (xs + j)))
+                fm = f_.reshape(B, H * W, C)
+                rows = jnp.take_along_axis(
+                    fm, ((ys + i) * W + (xs + j))[..., None], axis=1)
+                out = out + (wy * wx)[..., None] * rows
+        return out
+
+    def loss(f_):
+        o = grid_sample_points(f_, xy)
+        return jnp.sum(o * jnp.cos(jnp.arange(o.size).reshape(o.shape)))
+
+    def loss_ref(f_):
+        o = fwd_ref(f_)
+        return jnp.sum(o * jnp.cos(jnp.arange(o.size).reshape(o.shape)))
+
+    np.testing.assert_allclose(np.asarray(jax.grad(loss)(f)),
+                               np.asarray(jax.grad(loss_ref)(f)),
+                               rtol=1e-5, atol=1e-5)
