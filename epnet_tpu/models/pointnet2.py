@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.block_local import (block_local_available, block_local_fp_available,
-                               block_local_group_nested,
+                               block_local_group_multi,
                                block_local_three_interp,
                                block_local_window_query)
 from ..ops.pointops import (
@@ -184,7 +184,7 @@ class SAModuleMSG(nn.Module):
                     gf = gf[..., :features.shape[-1]]
             return gf
 
-        scale_idx = nested_cnts = win_idx = win_starts = None
+        scale_idx = nested_cnts = win_idx = win_starts = bl_groups = None
         if use_win:
             win_idx, win_starts, _ = block_local_window_query(
                 self.radii[0], self.nsamples[0], xyz, fps_idx, new_xyz,
@@ -198,8 +198,9 @@ class SAModuleMSG(nn.Module):
             # single-scale stages keep the per-scale paths.
             if use_bl:
                 # Morton-sorted cloud: the query field and the gather both
-                # collapse to block-local windows (ops/block_local.py)
-                gx_full, gf_full, nested_cnts = block_local_group_nested(
+                # collapse to block-local windows; each scale takes a
+                # sort-free strided-bucket select (ops/block_local.py)
+                bl_groups = block_local_group_multi(
                     radii, ns, xyz, gfeats, fps_idx, new_xyz,
                     window=self.block_window, block_c=self.block_c)
             elif (len(radii) > 1 and radii == sorted(radii) and ns == sorted(ns)
@@ -253,7 +254,10 @@ class SAModuleMSG(nn.Module):
                         w3.astype(cdt), b3))
                 continue
             if self.npoint is not None:
-                if nested_cnts is not None:
+                if bl_groups is not None:
+                    grouped_xyz = bl_groups[i][0] - new_xyz[:, :, None, :]
+                    grouped = bl_groups[i][1]
+                elif nested_cnts is not None:
                     s_i = self.nsamples[i]
 
                     outer = i == len(self.nsamples) - 1

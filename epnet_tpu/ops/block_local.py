@@ -217,6 +217,100 @@ def block_local_available(n: int, m: int, window: int, block_c: int) -> bool:
             and window % 128 == 0)
 
 
+def block_local_group_multi(
+    radii: Sequence[float],
+    nsamples: Sequence[int],
+    xyz: jnp.ndarray,
+    feats: Optional[jnp.ndarray],
+    parent_idx: jnp.ndarray,
+    new_xyz: jnp.ndarray = None,
+    window: int = 1024,
+    block_c: int = 128,
+) -> List[Tuple[jnp.ndarray, Optional[jnp.ndarray]]]:
+    """Per-scale strided-bucket grouping over block-local windows.
+
+    Replaces ``block_local_group_nested``'s nearest-first ``approx_max_k``
+    select, whose top-k aggregation dominates (6.3 of the 8.8 ms sa0
+    grouping at B8; the bucket select is 0.13 ms — tools/profile_sa0_pieces
+    + /tmp micro-profiles, see ROADMAP). Each scale independently keeps the
+    nearest in-radius window lane per ``lane % nsample_i`` bucket — exactly
+    ``nsample_i`` slots, sort-free, contiguous in-radius runs up to
+    ``nsample_i`` survive intact (Morton order makes in-radius lanes near-
+    contiguous). Crowded balls get a spatially-stratified subset — the same
+    train/eval-consistent selection-policy family as the nested
+    nearest-first select (quality ablation: tools/block_local_ablation.py).
+    The distance field is an exact-f32 VPU broadcast-subtract (the tiny K=3
+    MXU cross-term is ~5x slower at these block shapes).
+
+    Empty balls take the window's globally nearest lane; fully-empty
+    windows take lane 0 — matching ``ball_query``'s pad family.
+
+    :return: per-scale ``(gx_i (B, M, s_i, 3), gf_i (B, M, s_i, Cf)|None)``
+        grouped rows, pad-resolved.
+    """
+    B, N, _ = xyz.shape
+    M = parent_idx.shape[1]
+    NB = M // block_c
+    parent_idx = lax.stop_gradient(parent_idx)
+    xyz = lax.stop_gradient(xyz)
+    Cf = 0 if feats is None else feats.shape[-1]
+    for s in nsamples:
+        assert window % s == 0, (window, s)
+
+    pb = parent_idx.reshape(B, NB, block_c)
+    mid = (pb[:, :, 0] + pb[:, :, -1]) // 2
+    starts = jnp.clip(mid - window // 2, 0, N - window)
+
+    if new_xyz is None:
+        new_xyz = jnp.take_along_axis(xyz, parent_idx[..., None], axis=1)
+    cen = lax.stop_gradient(new_xyz)
+
+    def one(xb, fb, cb, sb):
+        wx = jax.vmap(lambda s: lax.dynamic_slice(xb, (s, 0), (window, 3)))(sb)
+        diff = cb.reshape(NB, block_c, 1, 3) - wx[:, None, :, :]
+        d2 = jnp.sum(diff * diff, axis=-1)           # (NB, BC, W) exact f32
+        pad = jnp.argmin(d2, axis=-1).astype(jnp.int32)  # nearest lane
+        if Cf:
+            wf = jax.vmap(
+                lambda s: lax.dynamic_slice(fb, (s, 0), (window, Cf)))(sb)
+        outs = []
+        for r, ns in zip(radii, nsamples):
+            keys = jnp.where(d2 < float(r) * float(r), d2, jnp.inf)
+            kr = keys.reshape(NB, block_c, window // ns, ns)
+            vmin = jnp.min(kr, axis=2)
+            cstar = jnp.argmin(kr, axis=2).astype(jnp.int32)
+            idx = cstar * ns + jnp.arange(ns, dtype=jnp.int32)
+            valid = jnp.isfinite(vmin)
+            any_hit = jnp.any(valid, axis=-1, keepdims=True)
+            idx = jnp.where(valid, idx, pad[..., None])
+            idx = jnp.where(any_hit, idx, 0)
+            flat = idx.reshape(NB, block_c * ns)
+            oh = jax.nn.one_hot(flat, window, dtype=jnp.bfloat16)
+            gx = jnp.einsum('nkw,nwc->nkc', oh.astype(jnp.float32), wx,
+                            preferred_element_type=jnp.float32,
+                            precision=lax.Precision.HIGHEST)
+            if Cf:
+                prec = (lax.Precision.HIGHEST if fb.dtype == jnp.float32
+                        else lax.Precision.DEFAULT)
+                gf = jnp.einsum('nkw,nwc->nkc', oh.astype(fb.dtype), wf,
+                                preferred_element_type=jnp.float32,
+                                precision=prec).astype(fb.dtype)
+                gf = gf.reshape(M, ns, Cf)
+            else:
+                gf = jnp.zeros((M, ns, 0), xb.dtype)
+            outs.append((gx.reshape(M, ns, 3), gf))
+        return tuple(x for pair in outs for x in pair)
+
+    fdummy = (feats if feats is not None
+              else jnp.zeros((B, N, 0), xyz.dtype))
+    flat_out = jax.vmap(one)(xyz, fdummy, cen, starts)
+    res = []
+    for i in range(len(radii)):
+        gx, gf = flat_out[2 * i], flat_out[2 * i + 1]
+        res.append((gx, gf if feats is not None else None))
+    return res
+
+
 def _d2_normalized(cc, win_xyz, inv):
     """(NB, C, 3) x (NB, W, 3) -> (NB, C, W) squared distance / r_max^2 via
     the MXU cross-term (see pointops._pairwise_d2 for the HIGHEST-precision

@@ -261,3 +261,36 @@ def test_block_local_fp_interp_windowed_close_to_exact():
     frac_exact = (rel < 1e-4).mean()
     assert frac_exact > 0.9, frac_exact
     assert np.isfinite(got).all()
+
+
+def test_block_local_group_multi_member_recall():
+    """Strided-bucket grouping must recover most in-radius members on a
+    Morton-sorted structured scene (collisions only when a ball spans more
+    window lanes than nsample)."""
+    from epnet_tpu.ops.block_local import block_local_group_multi
+
+    rng = np.random.RandomState(11)
+    pts, _, _ = structured_scene(rng, 4096, n_cars=6)
+    xyz = pts[:, :3].astype(np.float32)
+    xyz = xyz[morton_argsort_np(xyz)]
+    parents = np.sort(rng.choice(4096, 1024, replace=False)).astype(np.int32)
+    cen = xyz[parents]
+    radii, ns = (0.5, 1.0), (16, 32)
+
+    groups = block_local_group_multi(
+        radii, ns, jnp.asarray(xyz[None]), None, jnp.asarray(parents[None]),
+        jnp.asarray(cen[None]), window=1024, block_c=128)
+
+    d2 = np.sum((cen[:, None, :] - xyz[None, :, :]) ** 2, axis=-1)
+    for (gx, _), r, s in zip(groups, radii, ns):
+        got = np.asarray(gx)[0]  # (M, s, 3)
+        rec = []
+        for m in range(0, 1024, 7):
+            true = {tuple(np.round(xyz[i], 5))
+                    for i in np.where(d2[m] < r * r)[0]}
+            if not true:
+                continue
+            sel = {tuple(np.round(p, 5)) for p in got[m]}
+            rec.append(len(sel & true) / min(len(true), s))
+        assert np.mean(rec) > 0.85, (r, s, np.mean(rec))
+        assert np.isfinite(got).all()
