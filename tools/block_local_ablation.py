@@ -60,10 +60,11 @@ def base_config():
 
 
 def run(name, cfg, batch, steps=300):
-    state, model, tx = create_train_state(cfg, jax.random.PRNGKey(0),
+    seed = int(os.environ.get('ABLATE_SEED', '0'))
+    state, model, tx = create_train_state(cfg, jax.random.PRNGKey(seed),
                                           batch, total_steps=steps)
     step = jit_train_step(cfg, model, tx)
-    key = jax.random.PRNGKey(3)
+    key = jax.random.PRNGKey(seed + 3)
     t0 = time.time()
     for _ in range(steps):
         state, tb = step(state, batch, key, jnp.float32(0.1))
@@ -78,11 +79,11 @@ def run(name, cfg, batch, steps=300):
 
 def main():
     base = base_config()
-    rng = np.random.RandomState(11)
+    rng = np.random.RandomState(11 + int(os.environ.get('ABLATE_SEED', '0')))
     # batches must carry the ordering each policy expects
     batch_dense = synthetic_batch(rng, base, batch=2, structured=True)
     cfg_bl = base.merged({'RPN': {'BLOCK_LOCAL': True}})
-    rng2 = np.random.RandomState(11)
+    rng2 = np.random.RandomState(11 + int(os.environ.get('ABLATE_SEED', '0')))
     batch_bl = synthetic_batch(rng2, cfg_bl, batch=2, structured=True)
 
     dense_vars, _ = run('dense (nested approx)', base, batch_dense)
