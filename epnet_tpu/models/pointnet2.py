@@ -17,8 +17,8 @@ from flax import linen as nn
 
 from ..ops.block_local import (block_local_available, block_local_fp_available,
                                block_local_group_multi,
-                               block_local_three_interp,
-                               block_local_window_query)
+                               block_local_three_interp, bucket_ball_query,
+                               to_window_relative, window_starts)
 from ..ops.pointops import (
     _resolve_exact,
     ball_query,
@@ -118,6 +118,7 @@ class SAModuleMSG(nn.Module):
         use_win = (not use_bl and self.block_local and self.npoint is not None
                    and len(self.mlps) == 1 and len(self.mlps[0]) == 3
                    and not _resolve_exact(None)
+                   and xyz.shape[1] % self.nsamples[0] == 0
                    and fused_sa_win_available(
                        xyz.shape[1], self.npoint, self.nsamples[0],
                        *self.mlps[0], use_bn=self.bn,
@@ -186,9 +187,14 @@ class SAModuleMSG(nn.Module):
 
         scale_idx = nested_cnts = win_idx = win_starts = bl_groups = None
         if use_win:
-            win_idx, win_starts, _ = block_local_window_query(
-                self.radii[0], self.nsamples[0], xyz, fps_idx, new_xyz,
-                window=self.block_window, block_c=self.block_c)
+            # dense VPU field + global bucket select, then an elementwise
+            # window-relative conversion (per-block slicing in the query is
+            # slice-latency-bound; the field at these small N is cheap)
+            gidx = bucket_ball_query(self.radii[0], self.nsamples[0], xyz,
+                                     new_xyz)
+            win_starts = window_starts(fps_idx, xyz.shape[1],
+                                       self.block_window, self.block_c)
+            win_idx = to_window_relative(gidx, win_starts, self.block_window)
         elif self.npoint is not None:
             radii, ns = list(self.radii), list(self.nsamples)
             # Monotone multi-scale configs on the approx path take the nested
@@ -212,6 +218,13 @@ class SAModuleMSG(nn.Module):
                     gx_full = group_points(xyz, nest_idx)
                     gf_full = (group_points(gfeats, nest_idx)
                                if gfeats is not None else None)
+            elif (self.block_local and len(radii) == 1
+                    and xyz.shape[1] % ns[0] == 0
+                    and not _resolve_exact(None)):
+                # small spatially-ordered table (deeper RCNN tower stage):
+                # sort-free bucket select beats approx_max_k's aggregation
+                # at narrow widths
+                scale_idx = [bucket_ball_query(radii[0], ns[0], xyz, new_xyz)]
             else:
                 # one shared distance field for all MSG scales
                 scale_idx = ball_query_multi(self.radii, self.nsamples, xyz, new_xyz)

@@ -130,6 +130,80 @@ def block_local_three_interp(
     return jax.vmap(one)(unknown, known_xyz, known_feats, starts)
 
 
+def bucket_ball_query(
+    radius: float,
+    nsample: int,
+    xyz: jnp.ndarray,
+    new_xyz: jnp.ndarray,
+) -> jnp.ndarray:
+    """Dense strided-bucket ball query over a spatially-ordered cloud,
+    returning GLOBAL indices.
+
+    For small per-roi tables (N <= ~1024) the windowed slicing of
+    ``block_local_window_query`` is slice-latency-bound (~3 ms for 3200
+    (256,3) dynamic slices at RCNN shapes) and ``approx_max_k`` at narrow
+    widths is aggregation-bound — this computes ONE exact-f32 VPU distance
+    field over the whole table and picks the nearest in-radius lane per
+    ``lane % nsample`` bucket (sort-free; contiguous in-radius runs up to
+    ``nsample`` survive intact — the cloud is spatially ordered). Same
+    selection-policy family as ``block_local_group_multi``.
+
+    :param xyz: (T, N, 3), spatially ordered along N; N % nsample == 0.
+    :param new_xyz: (T, M, 3) centroids.
+    :return: (T, M, nsample) int32 global indices, pad-resolved (empty
+        balls take the nearest lane; all-empty takes 0).
+    """
+    T, N, _ = xyz.shape
+    assert N % nsample == 0, (N, nsample)
+    xyz = lax.stop_gradient(xyz)
+    new_xyz = lax.stop_gradient(new_xyz)
+    diff = new_xyz[:, :, None, :] - xyz[:, None, :, :]
+    d2 = jnp.sum(diff * diff, axis=-1)                    # (T, M, N)
+    keys = jnp.where(d2 < float(radius) ** 2, d2, jnp.inf)
+    kr = keys.reshape(T, keys.shape[1], N // nsample, nsample)
+    vmin = jnp.min(kr, axis=2)
+    cstar = jnp.argmin(kr, axis=2).astype(jnp.int32)
+    idx = cstar * nsample + jnp.arange(nsample, dtype=jnp.int32)
+    valid = jnp.isfinite(vmin)
+    any_hit = jnp.any(valid, axis=-1, keepdims=True)
+    pad = jnp.argmin(d2, axis=-1).astype(jnp.int32)       # nearest lane
+    idx = jnp.where(valid, idx, pad[..., None])
+    return jnp.where(any_hit, idx, 0)
+
+
+def window_starts(parent_idx: jnp.ndarray, n: int, window: int,
+                  block_c: int, align: int = 8) -> jnp.ndarray:
+    """Aligned window start per block of ``block_c`` position-sorted
+    centroids (span midpoint, clipped and ``align``-aligned)."""
+    B, M = parent_idx.shape
+    NB = M // block_c
+    pb = lax.stop_gradient(parent_idx).reshape(B, NB, block_c)
+    mid = (pb[:, :, 0] + pb[:, :, -1]) // 2
+    starts = jnp.clip(mid - window // 2, 0, n - window)
+    return ((starts // align) * align).astype(jnp.int32)
+
+
+def to_window_relative(idx: jnp.ndarray, starts: jnp.ndarray,
+                       window: int) -> jnp.ndarray:
+    """Convert global gather indices to window-relative ones for the
+    windowed fused kernel. Out-of-window neighbours (spatial-order
+    violations) fall back to any in-window member (min relative index),
+    or slot 0 when none exists — the block-local drop policy, applied
+    elementwise instead of via per-block slicing.
+
+    :param idx: (T, M, S) int32 global indices; starts: (T, NB), NB | M.
+    """
+    T, M, S = idx.shape
+    NB = starts.shape[1]
+    ws = jnp.repeat(starts, M // NB, axis=1)[..., None]   # (T, M, 1)
+    rel = idx - ws
+    valid = (rel >= 0) & (rel < window)
+    relm = jnp.where(valid, rel, 2 * window)
+    pad = jnp.min(relm, axis=-1, keepdims=True)
+    has = pad < 2 * window
+    return jnp.where(valid, rel, jnp.where(has, pad, 0)).astype(jnp.int32)
+
+
 def block_local_window_query(
     radius: float,
     nsample: int,

@@ -249,3 +249,37 @@ def test_window_query_matches_global_when_local():
         for m in range(M):
             match += set(gidx[t, m]) == set(ref[t, m])
     assert match / (T * M) > 0.95, match / (T * M)
+
+
+def test_bucket_ball_query_matches_global_when_local():
+    from epnet_tpu.ops.block_local import bucket_ball_query
+    from epnet_tpu.ops.pointops import ball_query
+
+    rng = np.random.RandomState(14)
+    T, N, M, S = 2, 512, 128, 8
+    x = np.sort(rng.uniform(0, 100, (T, N))).astype(np.float32)
+    xyz = np.stack([x, rng.randn(T, N).astype(np.float32) * 0.01,
+                    rng.randn(T, N).astype(np.float32) * 0.01], -1)
+    pidx = np.sort(rng.choice(N, M, replace=False)).astype(np.int32)
+    cen = jnp.asarray(xyz[:, pidx])
+    xj = jnp.asarray(xyz)
+
+    got = np.asarray(bucket_ball_query(0.3, S, xj, cen))
+    ref = np.asarray(ball_query(0.3, S, xj, cen, exact=True))
+    match = sum(set(got[t, m]) == set(ref[t, m])
+                for t in range(T) for m in range(M))
+    assert match / (T * M) > 0.95, match / (T * M)
+
+
+def test_to_window_relative_semantics():
+    from epnet_tpu.ops.block_local import to_window_relative
+
+    idx = jnp.asarray([[[10, 300, 40, 500]]], jnp.int32)  # (1, 1, 4)
+    starts = jnp.asarray([[8]], jnp.int32)
+    rel = np.asarray(to_window_relative(idx, starts, 256))[0, 0]
+    # 10->2, 40->32 in-window; 300/500 out -> fall back to min valid rel (2)
+    np.testing.assert_array_equal(rel, [2, 2, 32, 2])
+    # no in-window member at all -> 0
+    idx2 = jnp.asarray([[[300, 500]]], jnp.int32)
+    rel2 = np.asarray(to_window_relative(idx2, starts, 256))[0, 0]
+    np.testing.assert_array_equal(rel2, [0, 0])
