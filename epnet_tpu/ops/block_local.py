@@ -347,29 +347,60 @@ def block_local_group_multi(
         if Cf:
             wf = jax.vmap(
                 lambda s: lax.dynamic_slice(fb, (s, 0), (window, Cf)))(sb)
+            fprec = (lax.Precision.HIGHEST if fb.dtype == jnp.float32
+                     else lax.Precision.DEFAULT)
+
+        # The bucket winner for slot j can only be a window lane with
+        # lane % ns == j, so the winner gather is a CANDIDATE-axis one-hot
+        # (window/ns wide) over a strided reshape of the window — ns times
+        # smaller than the (BC*ns, W) one-hot it replaces, which at sa0
+        # shapes (B8, NB32, 4096x1024 bf16 per scale) was ~2 GB of HBM
+        # traffic and the dominant sa0 cost (tools/profile_sa0_pieces.py).
+        def strided_gather(oh, tbl, ns, prec):
+            # oh (NB, BC, ns, Q) 0/1, tbl (NB, W, C) -> (NB, BC, ns, C)
+            tr = tbl.reshape(NB, window // ns, ns, tbl.shape[-1])
+            return jnp.einsum('nbsq,nqsc->nbsc', oh.astype(tbl.dtype), tr,
+                              preferred_element_type=jnp.float32,
+                              precision=prec)
+
+        # pad-row values (nearest window lane per centroid — usually the
+        # centroid itself at d2=0), via a FACTORED one-hot gather
+        # (W = 128 groups x 128 lanes) instead of a (BC, W) one-hot
+        pgrp, plane = pad // 128, pad % 128
+        oh_g = jax.nn.one_hot(pgrp, window // 128, dtype=jnp.float32)
+        oh_l = jax.nn.one_hot(plane, 128, dtype=jnp.float32)
+
+        def pad_gather(tbl, prec):
+            # (NB, BC, W//128) x (NB, W//128, 128, C) -> (NB, BC, C)
+            tr = tbl.reshape(NB, window // 128, 128, tbl.shape[-1])
+            rows = jnp.einsum('nbg,ngsc->nbsc', oh_g.astype(tbl.dtype), tr,
+                              preferred_element_type=jnp.float32,
+                              precision=prec)
+            return jnp.einsum('nbs,nbsc->nbc', oh_l.astype(rows.dtype), rows,
+                              precision=prec)
+
+        padx = pad_gather(wx, lax.Precision.HIGHEST)
+        if Cf:
+            padf = pad_gather(wf, fprec).astype(fb.dtype)
+
         outs = []
         for r, ns in zip(radii, nsamples):
             keys = jnp.where(d2 < float(r) * float(r), d2, jnp.inf)
             kr = keys.reshape(NB, block_c, window // ns, ns)
             vmin = jnp.min(kr, axis=2)
             cstar = jnp.argmin(kr, axis=2).astype(jnp.int32)
-            idx = cstar * ns + jnp.arange(ns, dtype=jnp.int32)
-            valid = jnp.isfinite(vmin)
+            valid = jnp.isfinite(vmin)                   # (NB, BC, ns)
             any_hit = jnp.any(valid, axis=-1, keepdims=True)
-            idx = jnp.where(valid, idx, pad[..., None])
-            idx = jnp.where(any_hit, idx, 0)
-            flat = idx.reshape(NB, block_c * ns)
-            oh = jax.nn.one_hot(flat, window, dtype=jnp.bfloat16)
-            gx = jnp.einsum('nkw,nwc->nkc', oh.astype(jnp.float32), wx,
-                            preferred_element_type=jnp.float32,
-                            precision=lax.Precision.HIGHEST)
+            oh = (cstar[..., None] ==
+                  jnp.arange(window // ns, dtype=jnp.int32)).astype(jnp.float32)
+            gx = strided_gather(oh, wx, ns, lax.Precision.HIGHEST)
+            gx = jnp.where(valid[..., None], gx, padx[:, :, None, :])
+            gx = jnp.where(any_hit[..., None], gx, wx[:, None, 0:1, :])
             if Cf:
-                prec = (lax.Precision.HIGHEST if fb.dtype == jnp.float32
-                        else lax.Precision.DEFAULT)
-                gf = jnp.einsum('nkw,nwc->nkc', oh.astype(fb.dtype), wf,
-                                preferred_element_type=jnp.float32,
-                                precision=prec).astype(fb.dtype)
-                gf = gf.reshape(M, ns, Cf)
+                gf = strided_gather(oh, wf, ns, fprec).astype(fb.dtype)
+                gf = jnp.where(valid[..., None], gf, padf[:, :, None, :])
+                gf = jnp.where(any_hit[..., None], gf,
+                               wf[:, None, 0:1, :]).reshape(M, ns, Cf)
             else:
                 gf = jnp.zeros((M, ns, 0), xb.dtype)
             outs.append((gx.reshape(M, ns, 3), gf))

@@ -294,3 +294,49 @@ def test_block_local_group_multi_member_recall():
             rec.append(len(sel & true) / min(len(true), s))
         assert np.mean(rec) > 0.85, (r, s, np.mean(rec))
         assert np.isfinite(got).all()
+
+
+def test_block_local_group_multi_bitexact_vs_index_semantics():
+    """The strided candidate-one-hot gather must reproduce the bucket-select
+    index semantics bit-exactly: slot j takes the nearest in-radius window
+    lane among {l : l % ns == j}; empty slots take the window's nearest
+    lane; all-empty balls take window row 0."""
+    from epnet_tpu.ops.block_local import block_local_group_multi
+
+    rng = np.random.RandomState(3)
+    pts, _, _ = structured_scene(rng, 4096, n_cars=5)
+    xyz = pts[:, :3].astype(np.float32)
+    xyz = xyz[morton_argsort_np(xyz)]
+    feats = rng.randn(4096, 8).astype(np.float32)
+    parents = np.sort(rng.choice(4096, 1024, replace=False)).astype(np.int32)
+    cen = xyz[parents]
+    # drive some balls empty / short with a tiny inner radius
+    radii, ns = (0.05, 0.8), (16, 32)
+    window, block_c = 1024, 128
+
+    groups = block_local_group_multi(
+        radii, ns, jnp.asarray(xyz[None]), jnp.asarray(feats[None]),
+        jnp.asarray(parents[None]), jnp.asarray(cen[None]),
+        window=window, block_c=block_c)
+
+    NB = 1024 // block_c
+    mid = (parents.reshape(NB, block_c)[:, 0]
+           + parents.reshape(NB, block_c)[:, -1]) // 2
+    starts = np.clip(mid - window // 2, 0, 4096 - window)
+    for (gx, gf), r, s in zip(groups, radii, ns):
+        gx, gf = np.asarray(gx)[0], np.asarray(gf)[0]
+        for m in range(0, 1024, 17):
+            w0 = starts[m // block_c]
+            wxy = xyz[w0:w0 + window]
+            d2 = np.sum((cen[m] - wxy) ** 2, axis=-1)
+            keys = np.where(d2 < r * r, d2, np.inf)
+            kr = keys.reshape(window // s, s)
+            cstar = np.argmin(kr, axis=0)
+            valid = np.isfinite(kr.min(axis=0))
+            idx = cstar * s + np.arange(s)
+            idx = np.where(valid, idx, np.argmin(d2))
+            if not valid.any():
+                idx[:] = 0
+            np.testing.assert_array_equal(gx[m], wxy[idx])
+            np.testing.assert_array_equal(
+                gf[m], feats[w0:w0 + window][idx])
