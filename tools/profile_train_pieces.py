@@ -99,7 +99,10 @@ def main():
                 bb['pts_input'] = b['pts_input'] + i * 1e-5
                 (loss, _), g = jax.value_and_grad(loss_fn, has_aux=True)(
                     params, bb, rngs)
-                return acc + loss + jax.tree_util.tree_leaves(g)[0].ravel()[0], 0.0
+                # consume EVERY grad leaf — touching just one lets XLA
+                # dead-code-eliminate the rest of the backward pass
+                gsum = sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(g))
+                return acc + loss + gsum, 0.0
             acc, _ = jax.lax.scan(body, 0.0, jnp.arange(k, dtype=jnp.float32))
             return acc
         return f
