@@ -101,12 +101,14 @@ class PointBackbone(nn.Module):
         if li.ENABLED:
             # deconv pyramid back to full image resolution, with the 1x1
             # reduction folded into each scale's matmul (pointnet2_msg.py:239-246)
-            img_fusion = DeconvFusionHead(
+            # fused head+BN+relu+sample: in training the full-res fusion map
+            # is never materialized and its backward scatter is slot-
+            # factorized at half resolution (ops/deconv_sample.py)
+            img_pt = DeconvFusionHead(
                 reduce=li.DeConv_Reduce, kernels=li.DeConv_Kernels,
                 features=li.IMG_FEATURES_CHANNEL // 4, dtype=dt,
                 name='deconv_fusion')(imgs[1:], train=train,
-                                      bn_momentum=bn_momentum)
-            img_pt = feature_gather(img_fusion, xy_norm)
+                                      bn_momentum=bn_momentum, xy=xy_norm)
             if li.ADD_Image_Attention:
                 l_feats[0] = AttenFusionConv(li.IMG_FEATURES_CHANNEL, dtype=dt,
                                              name='final_fusion')(

@@ -8,6 +8,7 @@ points) so 1x1 convs and the attention MLPs are MXU matmuls.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import jax
@@ -122,34 +123,62 @@ class DeconvFusionHead(nn.Module):
     dtype: object = None
 
     @nn.compact
-    def __call__(self, imgs, train: bool = False, bn_momentum=0.1):
+    def __call__(self, imgs, train: bool = False, bn_momentum=0.1, xy=None):
+        """With ``xy`` (B, N, 2 in [-1, 1]): returns the fused map *sampled
+        at those points* (B, N, F). In training this takes the fused
+        half-res custom-VJP path (ops/deconv_sample.py) — the
+        full-resolution map is never materialized and the backward avoids
+        the pathological full-res scatter. Without ``xy``: returns the
+        dense full-res map (legacy behaviour)."""
+        from .layers import BN_STAT_GROUPS
+
         fuse_w = self.param('fusion_kernel', kaiming_normal(),
                             (sum(self.reduce), self.features))
-        total = None
+        cws = []
         bias_fused = jnp.zeros((self.features,), jnp.float32)
         off = 0
+        dt = self.dtype or imgs[0].dtype
         for i, x in enumerate(imgs):
             k, r = self.kernels[i], self.reduce[i]
-            B, h, w, C = x.shape
+            C = x.shape[-1]
             kern = self.param(f'deconv{i}_kernel', kaiming_normal(),
                               (k, k, C, r))
             bias = self.param(f'deconv{i}_bias', nn.initializers.zeros, (r,))
             wi = fuse_w[off:off + r]
             off += r
-            dt = self.dtype or x.dtype
             # fold the reduction slice into the deconv weight (f32, then cast)
-            cw = jnp.einsum('klcr,rf->cklf', kern, wi).reshape(
-                C, k * k * self.features).astype(dt)
+            cws.append(jnp.einsum('klcr,rf->cklf', kern, wi).reshape(
+                C, k * k * self.features).astype(dt))
+            bias_fused = bias_fused + bias @ wi
+
+        use_fused = (xy is not None and train and BN_STAT_GROUPS == 1
+                     and all(k % 2 == 0 for k in self.kernels)
+                     and os.environ.get('EPNET_FUSED_HEAD', '1') != '0')
+        if use_fused:
+            from ..ops.deconv_sample import deconv_bn_relu_sample
+            xs = tuple(x.astype(dt) for x in imgs)
+            return BatchNorm(name='image_fusion_bn')(
+                None, train=True, momentum=bn_momentum,
+                fused_fn=lambda sc, bi: deconv_bn_relu_sample(
+                    xs, tuple(cws), bias_fused, sc, bi, xy,
+                    tuple(self.kernels), 1e-5),
+                features=self.features)
+
+        total = None
+        for x, cw, k in zip(imgs, cws, self.kernels):
+            B, h, w, _ = x.shape
             y = x.astype(dt) @ cw                  # (B, h, w, k*k*F)
             y = y.reshape(B, h, w, k, k, self.features)
             y = y.transpose(0, 1, 3, 2, 4, 5).reshape(
                 B, h * k, w * k, self.features)
             total = y if total is None else total + y
-            bias_fused = bias_fused + bias @ wi
         total = total + bias_fused.astype(total.dtype)
         total = BatchNorm(name='image_fusion_bn')(total, train=train,
                                                   momentum=bn_momentum)
-        return nn.relu(total)
+        total = nn.relu(total)
+        if xy is not None:
+            return feature_gather(total, xy)
+        return total
 
 
 class DeConvUp(nn.Module):

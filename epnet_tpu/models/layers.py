@@ -49,7 +49,30 @@ class BatchNorm(nn.Module):
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, train: bool, momentum=0.1):
+    def __call__(self, x, train: bool, momentum=0.1, fused_fn=None,
+                 features=None):
+        if fused_fn is not None:
+            # Fused-consumer mode: the caller computes the normalized +
+            # consumed output AND the batch statistics in one custom-VJP op
+            # (ops/deconv_sample.py); this module only owns the variables
+            # and the torch-convention running-stat update, so parameter /
+            # batch_stats paths stay identical to the dense path.
+            C = features
+            ra_mean = self.variable('batch_stats', 'mean',
+                                    lambda: jnp.zeros(C, jnp.float32))
+            ra_var = self.variable('batch_stats', 'var',
+                                   lambda: jnp.ones(C, jnp.float32))
+            scale = self.param('scale', nn.initializers.ones, (C,))
+            bias = self.param('bias', nn.initializers.zeros, (C,))
+            assert train, 'fused_fn path is train-only'
+            out, mean, unbiased = fused_fn(scale, bias)
+            if not self.is_initializing():
+                m = jnp.asarray(momentum, jnp.float32)
+                ra_mean.value = (1 - m) * ra_mean.value + \
+                    m * jax.lax.stop_gradient(mean)
+                ra_var.value = (1 - m) * ra_var.value + \
+                    m * jax.lax.stop_gradient(unbiased)
+            return out
         C = x.shape[-1]
         in_dtype = x.dtype
         # Statistics accumulate in f32 via reduction dtype — but the

@@ -11,7 +11,7 @@ import sys
 if '--no-dropout' in sys.argv:
     cfg = cfg.merged({'RPN': {'DP_RATIO': -1.0}, 'RCNN': {'DP_RATIO': -1.0}})
     print('dropout disabled', flush=True)
-B = 4
+B = int(os.environ.get('EPNET_PROFILE_B', '4'))
 batch = _full_batch(cfg, batch_size=B, seed=0)
 # add labels
 rng = np.random.RandomState(1)
