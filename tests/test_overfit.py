@@ -27,8 +27,12 @@ from tiny import synthetic_batch, tiny_config
 
 @pytest.mark.slow
 def test_overfit_single_batch_structured():
+    # LR 0.02 trains on the edge of stability (loss spikes to ~250 around
+    # step 10) — the outcome then flips on fp-noise-level numerics changes
+    # (tools/cmp_fused_head.py: fused vs dense heads diverge chaotically
+    # from rel 2e-7 at step 0). 0.01 converges cleanly for both paths.
     cfg = tiny_config().merged({
-        'TRAIN': {'LR': 0.02, 'RPN_PRE_NMS_TOP_N': 128, 'RPN_POST_NMS_TOP_N': 32},
+        'TRAIN': {'LR': 0.01, 'RPN_PRE_NMS_TOP_N': 128, 'RPN_POST_NMS_TOP_N': 32},
         'RPN': {'DP_RATIO': 0.0},
     })
     rng = np.random.RandomState(11)
