@@ -28,7 +28,7 @@ import json
 import time
 
 A100_BASELINE_SCANS_PER_SEC = 66.6  # tools/baseline_cost_model.py, batch 4
-BATCH = 8
+BATCH = int(__import__('os').environ.get('EPNET_BENCH_B', '8'))
 WARMUP = 2
 ITERS = 10
 

@@ -1,0 +1,40 @@
+"""ops/conv2d.conv3x3_stride2: value and gradients vs lax autodiff."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from epnet_tpu.ops.conv2d import conv3x3_stride2
+
+
+def _lax_conv(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, (2, 2), 'SAME', dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+
+def test_value_and_grads_match_lax():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 16, 24, 5).astype(np.float32))
+    w = jnp.asarray((rng.randn(3, 3, 5, 7) / 10).astype(np.float32))
+    ct = jnp.asarray(rng.randn(2, 8, 12, 7).astype(np.float32))
+
+    np.testing.assert_allclose(np.asarray(conv3x3_stride2(x, w)),
+                               np.asarray(_lax_conv(x, w)),
+                               rtol=1e-5, atol=1e-5)
+
+    gx1, gw1 = jax.grad(lambda x, w: jnp.sum(conv3x3_stride2(x, w) * ct),
+                        argnums=(0, 1))(x, w)
+    gx2, gw2 = jax.grad(lambda x, w: jnp.sum(_lax_conv(x, w) * ct),
+                        argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_conv2dblock_param_path_unchanged():
+    from epnet_tpu.models.layers import Conv2dBlock
+    x = jnp.zeros((1, 8, 12, 4))
+    blk = Conv2dBlock(6, kernel=3, stride=2)
+    v = blk.init({'params': jax.random.PRNGKey(0)}, x)
+    assert 'Conv_0' in v['params'] and 'kernel' in v['params']['Conv_0']
+    assert v['params']['Conv_0']['kernel'].shape == (3, 3, 4, 6)
