@@ -38,3 +38,17 @@ def test_conv2dblock_param_path_unchanged():
     v = blk.init({'params': jax.random.PRNGKey(0)}, x)
     assert 'Conv_0' in v['params'] and 'kernel' in v['params']['Conv_0']
     assert v['params']['Conv_0']['kernel'].shape == (3, 3, 4, 6)
+
+
+def test_dw_pallas_kernel_interpret():
+    from epnet_tpu.ops.conv2d import _dw_pallas
+    rng = np.random.RandomState(2)
+    B, H, W, C, F = 2, 32, 48, 8, 16
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    w = jnp.asarray((rng.randn(3, 3, C, F) / 10).astype(np.float32))
+    ct = jnp.asarray(rng.randn(B, H // 2, W // 2, F).astype(np.float32))
+
+    dw_ref = jax.grad(lambda w: jnp.sum(_lax_conv(x, w) * ct))(w)
+    dw = _dw_pallas(x, ct, F, tm=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref),
+                               rtol=1e-4, atol=1e-4)

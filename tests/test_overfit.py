@@ -31,6 +31,13 @@ def test_overfit_single_batch_structured():
     # step 10) — the outcome then flips on fp-noise-level numerics changes
     # (tools/cmp_fused_head.py: fused vs dense heads diverge chaotically
     # from rel 2e-7 at step 0). 0.01 converges cleanly for both paths.
+    # The trajectory is still chaotic: fp-noise-level numerics changes (or
+    # a different XLA device-count flag) flip WHICH basin a fixed-step run
+    # lands in, occasionally leaving one hard gt unlocalized at step 300
+    # while the other five sit at IoU 0.85+. Evaluate at checkpoints and
+    # train on if not yet converged (cap 900 steps): a genuine decode /
+    # target-assignment bug keeps the bar unmet at every checkpoint
+    # (tools/debug_overfit_gt.py aids diagnosis when this fails).
     cfg = tiny_config().merged({
         'TRAIN': {'LR': 0.01, 'RPN_PRE_NMS_TOP_N': 128, 'RPN_POST_NMS_TOP_N': 32},
         'RPN': {'DP_RATIO': 0.0},
@@ -38,31 +45,40 @@ def test_overfit_single_batch_structured():
     rng = np.random.RandomState(11)
     batch = synthetic_batch(rng, cfg, batch=2, structured=True)
     state, model, tx = create_train_state(cfg, jax.random.PRNGKey(0), batch,
-                                          total_steps=300)
+                                          total_steps=900)
     step = jit_train_step(cfg, model, tx)
     key = jax.random.PRNGKey(3)
+
+    eval_model = EPNet(cfg, mode='TEST')
+    eval_step = make_joint_eval_step(cfg, eval_model)
+
+    def measure(state):
+        variables = {'params': state.params, 'batch_stats': state.batch_stats}
+        res = jax.device_get(eval_step(variables, batch))
+        per_gt = []
+        for b in range(2):
+            gt = batch['gt_boxes3d'][b]
+            order = np.argsort(-res['norm_scores'][b])
+            top = res['pred_boxes3d'][b][order[:10]]
+            iou = np.asarray(boxes_iou3d(jnp.asarray(top), jnp.asarray(gt)))
+            per_gt.extend(iou.max(axis=0).tolist())  # best detection per gt
+        return per_gt
+
     first_loss = last_loss = None
-    for i in range(300):
-        state, tb = step(state, batch, key, jnp.float32(0.1))
-        if i == 0:
-            first_loss = float(tb['loss'])
-        last_loss = float(tb['loss'])
-    assert np.isfinite(last_loss)
+    per_gt = None
+    for phase in range(3):
+        for i in range(300):
+            state, tb = step(state, batch, key, jnp.float32(0.1))
+            if phase == 0 and i == 0:
+                first_loss = float(tb['loss'])
+            last_loss = float(tb['loss'])
+        assert np.isfinite(last_loss)
+        per_gt = measure(state)
+        if min(per_gt) > 0.6:
+            break
     assert last_loss < first_loss * 0.5, (first_loss, last_loss)
     # the RCNN stage must be training on real foreground rois
     assert float(tb['rcnn_reg_fg']) > 0, dict(tb)
-
     # inference: EVERY gt car must be localized by some top-10 detection
-    eval_model = EPNet(cfg, mode='TEST')
-    eval_step = make_joint_eval_step(cfg, eval_model)
-    variables = {'params': state.params, 'batch_stats': state.batch_stats}
-    res = jax.device_get(eval_step(variables, batch))
-    per_gt = []
-    for b in range(2):
-        gt = batch['gt_boxes3d'][b]
-        order = np.argsort(-res['norm_scores'][b])
-        top = res['pred_boxes3d'][b][order[:10]]
-        iou = np.asarray(boxes_iou3d(jnp.asarray(top), jnp.asarray(gt)))
-        per_gt.extend(iou.max(axis=0).tolist())  # best detection per gt
     assert min(per_gt) > 0.6, per_gt
     assert max(per_gt) > 0.8, per_gt
