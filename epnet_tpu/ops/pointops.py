@@ -35,6 +35,23 @@ from jax import lax
 EXACT_QUERIES = None
 
 
+def check_input(name: str, x, rank: int = None, last: int = None,
+                floating: bool = None, integer: bool = None):
+    """Trace-time input validation on the public op surface — the TPU
+    equivalent of the reference's ``CHECK_INPUT`` contiguity/device asserts
+    (``iou3d.cpp:7-9``, ``pointnet2_api.cpp``): shapes are static under
+    jit, so these run once at trace time and cost nothing at runtime."""
+    if rank is not None and x.ndim != rank:
+        raise ValueError(f'{name}: expected rank {rank}, got shape {x.shape}')
+    if last is not None and x.shape[-1] != last:
+        raise ValueError(
+            f'{name}: expected trailing dim {last}, got shape {x.shape}')
+    if floating and not jnp.issubdtype(x.dtype, jnp.floating):
+        raise ValueError(f'{name}: expected a floating dtype, got {x.dtype}')
+    if integer and not jnp.issubdtype(x.dtype, jnp.integer):
+        raise ValueError(f'{name}: expected an integer dtype, got {x.dtype}')
+
+
 def _resolve_exact(exact):
     if exact is not None:
         return exact
@@ -105,6 +122,8 @@ def furthest_point_sample(xyz: jnp.ndarray, npoint: int,
     exact FPS but has the same far-cluster coverage property — quality
     ablation in tools/sampling_ablation.py. Off (1) by default.
     """
+    check_input('furthest_point_sample.xyz', xyz, rank=3, last=3,
+                floating=True)
     from . import fps_pallas
 
     B, N = xyz.shape[0], xyz.shape[1]
@@ -138,6 +157,8 @@ def gather_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """points (B, N, C), idx (B, M) -> (B, M, C). Replaces gather_operation
     (sampling_gpu.cu:8-83); autodiff handles the scatter-add backward.
     Small tables route through group_points' one-hot MXU fast path."""
+    check_input('gather_points.points', points, rank=3)
+    check_input('gather_points.idx', idx, rank=2, integer=True)
     if jax.default_backend() == 'tpu' and points.shape[1] <= 1024:
         return group_points(points, idx[:, :, None])[:, :, 0]
     return jnp.take_along_axis(points, idx[..., None], axis=1)
@@ -240,6 +261,8 @@ def ball_query(
     :param new_xyz: (B, M, 3) centroids
     :return: (B, M, nsample) int32
     """
+    check_input('ball_query.xyz', xyz, rank=3, last=3, floating=True)
+    check_input('ball_query.new_xyz', new_xyz, rank=3, last=3, floating=True)
     B, N, _ = xyz.shape
     M = new_xyz.shape[1]
     xyz = lax.stop_gradient(xyz)
@@ -445,6 +468,8 @@ def three_nn(
     :return: (dist, idx) both (B, N, 3); dist is the *euclidean* distance
         like the CUDA kernel (sqrt applied).
     """
+    check_input('three_nn.unknown', unknown, rank=3, last=3, floating=True)
+    check_input('three_nn.known', known, rank=3, last=3, floating=True)
     B, N, _ = unknown.shape
     M = known.shape[1]
     unknown = lax.stop_gradient(unknown)
@@ -505,5 +530,9 @@ def three_interpolate(features: jnp.ndarray, idx: jnp.ndarray, weight: jnp.ndarr
     :param weight: (B, N, 3)
     :return: (B, N, C)
     """
+    check_input('three_interpolate.features', features, rank=3, floating=True)
+    check_input('three_interpolate.idx', idx, rank=3, last=3, integer=True)
+    check_input('three_interpolate.weight', weight, rank=3, last=3,
+                floating=True)
     gathered = group_points(features, idx)  # (B, N, 3, C)
     return jnp.sum(gathered * weight[..., None], axis=2)

@@ -145,6 +145,14 @@ def main():
     if args.set_cfgs:
         assert len(args.set_cfgs) % 2 == 0
         overrides = list(zip(args.set_cfgs[0::2], args.set_cfgs[1::2]))
+    # fail fast with a clear message (the reference's CHECK_INPUT spirit
+    # applied to the CLI surface)
+    if args.cfg_file and not os.path.isfile(args.cfg_file):
+        raise SystemExit(f'--cfg_file not found: {args.cfg_file}')
+    if not os.path.isdir(args.data_root):
+        raise SystemExit(
+            f'--data_root not found: {args.data_root} (expected a KITTI '
+            f'object tree: <root>/KITTI/object/training/...)')
     cfg = load_config(args.cfg_file, overrides)
     if args.eval_mode == 'rpn':
         cfg = cfg.merged({'RPN': {'ENABLED': True}, 'RCNN': {'ENABLED': False}})
