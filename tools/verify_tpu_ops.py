@@ -244,10 +244,17 @@ def e2e_exact_vs_approx():
         print(f'e2e ablation [{mode}]: per-gt IoU '
               f'{np.round(per_gt[mode], 3).tolist()}', flush=True)
 
+    # Per-gt IoUs at this scene carry ~±0.1 of trajectory noise — fp-level
+    # numerics changes alone move a single gt that much (see the chaotic-
+    # divergence analysis in tools/cmp_fused_head.py / tests/test_overfit.py)
+    # — so bound single-gt deltas at 0.15 and the MEAN delta (which averages
+    # the noise out) at 0.05.
     delta = per_gt['exact'] - per_gt['approx']
-    good = bool((delta < 0.05).all() and (per_gt['approx'] > 0.5).all())
-    print(f'e2e ablation: max exact-minus-approx IoU delta '
-          f'{delta.max():.4f} (<0.05 ok), approx min {per_gt["approx"].min():.3f}'
+    good = bool((delta < 0.15).all() and abs(delta.mean()) < 0.05
+                and (per_gt['approx'] > 0.5).all())
+    print(f'e2e ablation: exact-minus-approx IoU delta max '
+          f'{delta.max():.4f} (<0.15 ok) mean {delta.mean():.4f} (|.|<0.05 '
+          f'ok), approx min {per_gt["approx"].min():.3f}'
           f' (>0.5 ok) -> {"OK" if good else "FAIL"}', flush=True)
     return good
 
