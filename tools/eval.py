@@ -110,25 +110,33 @@ def eval_one(cfg, args, ckpt_path, logger):
                           save_result=args.save_result)
 
 
-def repeat_eval_all(cfg, args, logger):
-    """Checkpoint-polling daemon (eval_rcnn.py:851-922)."""
+def repeat_eval_all(cfg, args, logger, eval_fn=None, poll_interval_s=30.0):
+    """Checkpoint-polling daemon (eval_rcnn.py:851-922).
+
+    Polls ``args.ckpt_dir`` for new ``checkpoint_epoch_*`` entries, evaluates
+    each exactly once (``seen`` set), and exits after ``args.max_waiting_mins``
+    minutes with no new checkpoint. ``eval_fn``/``poll_interval_s`` are
+    injectable for tests (tests/test_eval_daemon.py)."""
+    eval_fn = eval_fn or eval_one
     seen = set()
     wait_start = time.time()
+    evaluated = []
     while True:
         ckpts = sorted(glob.glob(os.path.join(args.ckpt_dir, 'checkpoint_epoch_*')))
         new = [c for c in ckpts if c not in seen]
         if not new:
             if (time.time() - wait_start) / 60 > args.max_waiting_mins:
-                logger.info('no new checkpoints for %d min, exiting',
+                logger.info('no new checkpoints for %s min, exiting',
                             args.max_waiting_mins)
-                return
-            time.sleep(30)
+                return evaluated
+            time.sleep(poll_interval_s)
             continue
         wait_start = time.time()
         for c in new:
             seen.add(c)
             logger.info('evaluating %s', c)
-            ret = eval_one(cfg, args, c, logger)
+            ret = eval_fn(cfg, args, c, logger)
+            evaluated.append(c)
             logger.info('%s -> %s', c, {k: v for k, v in ret.items()
                                         if not isinstance(v, str)})
 
