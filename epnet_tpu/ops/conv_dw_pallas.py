@@ -34,6 +34,219 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Both kernel families accumulate a shared VMEM output block across every
+# grid step, which requires the TPU's sequential ('arbitrary') grid
+# semantics — made explicit via dimension_semantics below; a parallel grid
+# would be a data race (advisor r2).
+_SEQ2 = pltpu.CompilerParams(dimension_semantics=('arbitrary', 'arbitrary'))
+_SEQ3 = pltpu.CompilerParams(
+    dimension_semantics=('arbitrary', 'arbitrary', 'arbitrary'))
+
+
+# ---------------------------------------------------------------------------
+# Stacked-shift kernels: all 9 slots in ONE MXU dot per tile.
+#
+# s1:  dK[di, dj] = sum_hw x[h + di - 1, w] * dy[h, w - dj + 1], so with
+#      U[h, w, di*C + c] = x[h + di - 1, w, c]   (3 row-shifted x stacks)
+#      V[h, w, dj*F + f] = dy[h, w - dj + 1, f]  (3 col-shifted dy stacks)
+#      the whole 3x3 weight grad is U^T V -> (3C, 3F): one
+#      (tm*W, 3C) x (tm*W, 3F) contraction — 9x larger M/N than the
+#      per-slot dots (MXU-shaped at C >= 64) with ZERO extra FLOPs.
+# s2:  dK[p + 2a, q + 2b] = sum x_phase[p, q] * dy[h - a, w - b]:
+#      U = space-to-depth x (4C), V = 4 row/col-shifted dy stacks (4F),
+#      one (4C, 4F) dot; the 7 (p+2a > 2 | q+2b > 2) slots are dropped.
+#
+# Large C*F blocks chunk F via a third (innermost) grid dim: x's block
+# index map is constant across it so the x tile is fetched once per row
+# tile, while dy chunks stream.
+# ---------------------------------------------------------------------------
+
+
+def _dw_s1_stack_kernel(x_ref, xp_ref, xn_ref, dy_ref, out_ref, *, tm, nt):
+    b = pl.program_id(1)
+    t = pl.program_id(2)
+
+    @pl.when((b == 0) & (t == 0))
+    def _init():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    xt = x_ref[0]                                   # (tm, W, C)
+    dy = dy_ref[0]                                  # (tm, W, Fc)
+    W = xt.shape[1]
+    Fc = dy.shape[2]
+    prv = jnp.where(t > 0, xp_ref[0], jnp.zeros_like(xp_ref[0]))       # (1, W, C)
+    nxt = jnp.where(t < nt - 1, xn_ref[0], jnp.zeros_like(xn_ref[0]))
+    U = jnp.concatenate([
+        jnp.concatenate([prv, xt[:tm - 1]], axis=0),    # x[h-1]  (di = 0)
+        xt,                                             # di = 1
+        jnp.concatenate([xt[1:], nxt], axis=0),         # x[h+1]  (di = 2)
+    ], axis=2)                                          # (tm, W, 3C)
+    zc = jnp.zeros((tm, 1, Fc), dy.dtype)
+    V = jnp.concatenate([
+        jnp.concatenate([dy[:, 1:], zc], axis=1),       # dy[w+1] (dj = 0)
+        dy,                                             # dj = 1
+        jnp.concatenate([zc, dy[:, :W - 1]], axis=1),   # dy[w-1] (dj = 2)
+    ], axis=2)                                          # (tm, W, 3Fc)
+    C3 = U.shape[2]
+    out_ref[...] = out_ref[...] + _dot_rr(
+        U.reshape(tm * W, C3), V.reshape(tm * W, 3 * Fc))
+
+
+def dw3x3_s1_stack(x, dy, tm=8, f_chunk=None, interpret=False):
+    """Weight grad of a 3x3 stride-1 SAME conv via one (3C, 3F) dot per
+    row tile: x (B, H, W, C), dy (B, H, W, F) -> (3, 3, C, F) f32."""
+    B, H, W, C = x.shape
+    F = dy.shape[-1]
+    assert dy.shape[:3] == (B, H, W), (x.shape, dy.shape)
+    assert H % tm == 0, (H, tm)
+    nt = H // tm
+    Fc = f_chunk or F
+    assert F % Fc == 0, (F, Fc)
+    nf = F // Fc
+    kernel = functools.partial(_dw_s1_stack_kernel, tm=tm, nt=nt)
+    # f OUTERMOST: each (3C, 3Fc) accumulator block stays VMEM-resident for
+    # its whole (b, t) sweep and is written back exactly once — out-block
+    # revisiting (f innermost) silently dropped accumulation on the real
+    # backend. Cost: x is re-read nf times (nf <= 4, x is the small side).
+    out = pl.pallas_call(
+        kernel,
+        grid=(nf, B, nt),
+        in_specs=[
+            pl.BlockSpec((1, tm, W, C), lambda f, b, t: (b, t, 0, 0)),
+            # 1-row neighbor fetches (prev-last / next-first row only)
+            pl.BlockSpec((1, 1, W, C),
+                         lambda f, b, t: (b, jnp.maximum(t * tm - 1, 0), 0, 0)),
+            pl.BlockSpec((1, 1, W, C),
+                         lambda f, b, t: (b, jnp.minimum(t * tm + tm, nt * tm - 1), 0, 0)),
+            pl.BlockSpec((1, tm, W, Fc), lambda f, b, t: (b, t, 0, f)),
+        ],
+        out_specs=pl.BlockSpec((1, 3 * C, 3 * Fc), lambda f, b, t: (f, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nf, 3 * C, 3 * Fc), jnp.float32),
+        compiler_params=_SEQ3,
+        interpret=interpret,
+    )(x, x, x, dy)
+    # out[f, di*C + c, dj*Fc + fc] -> dK[di, dj, c, f*Fc + fc]
+    out = out.reshape(nf, 3, C, 3, Fc).transpose(1, 3, 2, 0, 4)
+    return out.reshape(3, 3, C, F)
+
+
+_VMEM_BUDGET = 10 << 20  # leave headroom under the ~16 MB VMEM limit
+
+
+def pick_s1_params(H, W, C, F, itemsize=2):
+    """Largest (tm, f_chunk) whose VMEM footprint fits the budget, or None."""
+    for fc in [f for f in (F, 256, 128) if f == F or (f % 128 == 0 and F % f == 0 and f < F)]:
+        for tm in (8, 4, 2):
+            if H % tm:
+                continue
+            need = (2 * tm * W * C + 2 * tm * W * fc
+                    + tm * W * 3 * C + tm * W * 3 * fc) * itemsize \
+                + 9 * C * fc * 4
+            if need <= _VMEM_BUDGET:
+                return tm, fc
+    return None
+
+
+def pick_s2_params(H, W, C, F, itemsize=2):
+    H2, W2 = H // 2, W // 2
+    for fc in [f for f in (F, 256, 128) if f == F or (f % 128 == 0 and F % f == 0 and f < F)]:
+        for tm in (8, 4, 2):
+            if H2 % tm:
+                continue
+            need = (2 * 2 * tm * W * C + 2 * tm * W2 * fc
+                    + tm * W2 * 4 * C + tm * W2 * 4 * fc) * itemsize \
+                + 16 * C * fc * 4
+            if need <= _VMEM_BUDGET:
+                return tm, fc
+    return None
+
+
+def _dw_s2_stack_kernel(x_ref, dy_ref, dyp_ref, out_ref, u_ref, v_ref, *,
+                        tm, W2):
+    b = pl.program_id(1)
+    t = pl.program_id(2)
+
+    @pl.when((b == 0) & (t == 0))
+    def _init():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    xt = x_ref[0]                                   # (2tm, W, C)
+    C = xt.shape[2]
+    dy = dy_ref[0]                                  # (tm, W2, Fc)
+    Fc = dy.shape[2]
+    # space-to-depth via phase slices staged through a VMEM scratch:
+    # U[h, w, (p*2 + q)*C + c] = x[2h + p, 2w + q, c]. A direct lane-dim
+    # jnp.concatenate of the phase slices fails to compile (Mosaic
+    # "offset mismatch on non-concat dimension" — the q = 1 slices carry
+    # a sublane offset); stores to static lane ranges sidestep it.
+    xrows = xt.reshape(tm, 2, xt.shape[1], C)
+    for p in range(2):
+        cols = xrows[:, p].reshape(tm, W2, 2, C)
+        for q in range(2):
+            u_ref[:, :, (p * 2 + q) * C:(p * 2 + q + 1) * C] = cols[:, :, q]
+    prv = jnp.where(t > 0, dyp_ref[0], jnp.zeros_like(dyp_ref[0]))  # (1, W2, Fc)
+    dy_dn = jnp.concatenate([prv, dy[:tm - 1]], axis=0)             # dy[h-1]
+    zc = jnp.zeros((tm, 1, Fc), dy.dtype)
+
+    def shr(d):                                     # dy[w-1]
+        return jnp.concatenate([zc, d[:, :W2 - 1]], axis=1)
+
+    # V[h, w, (a*2 + b)*Fc + f] = dy[h - a, w - b, f]
+    v_ref[:, :, 0 * Fc:1 * Fc] = dy
+    v_ref[:, :, 1 * Fc:2 * Fc] = shr(dy)
+    v_ref[:, :, 2 * Fc:3 * Fc] = dy_dn
+    v_ref[:, :, 3 * Fc:4 * Fc] = shr(dy_dn)
+    out_ref[...] = out_ref[...] + _dot_rr(
+        u_ref[...].reshape(tm * W2, 4 * C), v_ref[...].reshape(tm * W2, 4 * Fc))
+
+
+def dw3x3_s2_stack(x, dy, tm=8, f_chunk=None, interpret=False):
+    """Weight grad of a 3x3 stride-2 SAME conv (even H, W) via one
+    (4C, 4F) dot per row tile: x (B, H, W, C), dy (B, H/2, W/2, F)
+    -> (3, 3, C, F) f32."""
+    B, H, W, C = x.shape
+    F = dy.shape[-1]
+    H2, W2 = H // 2, W // 2
+    assert W % 2 == 0 and H % 2 == 0, (H, W)
+    assert dy.shape[:3] == (B, H2, W2), (x.shape, dy.shape)
+    assert H2 % tm == 0, (H2, tm)
+    nt = H2 // tm
+    Fc = f_chunk or F
+    assert F % Fc == 0, (F, Fc)
+    nf = F // Fc
+    kernel = functools.partial(_dw_s2_stack_kernel, tm=tm, W2=W2)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nf, B, nt),           # f outermost — see dw3x3_s1_stack
+        in_specs=[
+            pl.BlockSpec((1, 2 * tm, W, C), lambda f, b, t: (b, t, 0, 0)),
+            pl.BlockSpec((1, tm, W2, Fc), lambda f, b, t: (b, t, 0, f)),
+            # prev tile's last dy row for the a = 1 shift
+            pl.BlockSpec((1, 1, W2, Fc),
+                         lambda f, b, t: (b, jnp.maximum(t * tm - 1, 0), 0, f)),
+        ],
+        out_specs=pl.BlockSpec((1, 4 * C, 4 * Fc), lambda f, b, t: (f, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nf, 4 * C, 4 * Fc), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tm, W2, 4 * C), x.dtype),
+                        pltpu.VMEM((tm, W2, 4 * Fc), dy.dtype)],
+        compiler_params=_SEQ3,
+        interpret=interpret,
+    )(x, dy, dy)
+    # out[f, (p*2 + q)*C + c, (a*2 + b)*Fc + fc] -> dK[p + 2a, q + 2b, c, f]
+    out = out.reshape(nf, 2, 2, C, 2, 2, Fc)
+    dk = jnp.zeros((3, 3, C, F), jnp.float32)
+    for p in range(2):
+        for q in range(2):
+            for a in range(2):
+                for bb in range(2):
+                    di, dj = p + 2 * a, q + 2 * bb
+                    if di > 2 or dj > 2:
+                        continue
+                    piece = out[:, p, q, :, a, bb].transpose(1, 0, 2).reshape(C, F)
+                    dk = dk.at[di, dj].set(piece)
+    return dk
 
 
 def _dot_rr(a, b):
