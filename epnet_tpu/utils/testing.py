@@ -255,8 +255,13 @@ _TR_VELO2CAM = np.array([[0, -1, 0, 0],
 
 
 def make_fake_kitti(root, n_samples=4, split='train', img_hw=(370, 1240),
-                    n_points=6000, seed=0):
-    """Create a minimal KITTI object tree with synthetic cars."""
+                    n_points=6000, seed=0, n_val=0, max_cars=3):
+    """Create a minimal KITTI object tree with synthetic cars.
+
+    Default (``n_val=0``): ``val.txt`` aliases the train ids (cheap fixture
+    for pipeline tests). With ``n_val>0``: ``n_val`` EXTRA scenes are
+    generated and ``val.txt`` lists only those — a disjoint train/val split
+    for the synthetic-AP regression pin (tools/synthetic_ap_pin.py)."""
     import os
 
     from PIL import Image
@@ -272,7 +277,7 @@ def make_fake_kitti(root, n_samples=4, split='train', img_hw=(370, 1240),
     P2 = np.array([[f, 0, cu, 44.8], [0, f, cv, 0.1], [0, 0, 1, 0.003]], np.float32)
 
     ids = []
-    for sid in range(n_samples):
+    for sid in range(n_samples + n_val):
         ids.append('%06d' % sid)
         # ground points + a couple of cars in the frustum
         z = rng.uniform(4, 60, n_points)
@@ -281,7 +286,7 @@ def make_fake_kitti(root, n_samples=4, split='train', img_hw=(370, 1240),
         pts_rect = np.stack([x, y, z], 1)
 
         boxes = []
-        for _ in range(rng.randint(1, 4)):
+        for _ in range(rng.randint(1, max_cars + 1)):
             bz = rng.uniform(8, 45)
             bx = rng.uniform(-0.4, 0.4) * bz * (cu / f)
             ry = rng.uniform(-np.pi, np.pi)
@@ -333,8 +338,10 @@ def make_fake_kitti(root, n_samples=4, split='train', img_hw=(370, 1240),
         with open(os.path.join(obj_dir, 'planes', f'{ids[-1]}.txt'), 'w') as fo:
             fo.write('# Plane\nWidth 4\nHeight 1\n0 -1 0 1.55\n')
 
+    train_ids = ids[:n_samples]
+    val_ids = ids[n_samples:] if n_val else ids
     with open(os.path.join(root, 'KITTI', 'ImageSets', split + '.txt'), 'w') as fo:
-        fo.write('\n'.join(ids) + '\n')
+        fo.write('\n'.join(train_ids) + '\n')
     with open(os.path.join(root, 'KITTI', 'ImageSets', 'val.txt'), 'w') as fo:
-        fo.write('\n'.join(ids) + '\n')
+        fo.write('\n'.join(val_ids) + '\n')
     return root
