@@ -18,6 +18,8 @@ sys.path.insert(0, os.getcwd())
 
 import numpy as np
 
+import epnet_tpu  # noqa: F401  (enables the persistent compile cache)
+
 K = 6
 
 
@@ -123,6 +125,71 @@ def main():
 
     scan_time('H s1 grad(fwd) wrt h+w', lambda *a: gsum(
         jax.grad(c1, argnums=(0, 1))(*a)), pX, h, w)
+
+    # ---- round-3 follow-ups: is "isolated dw is fast" a loop-invariance
+    # artifact (dy fixed across the scan lets XLA hoist a layout
+    # conversion), and does an optimization_barrier on the in-graph
+    # cotangent restore the fast path?
+
+    pXD = lambda a, i: (a[0] + i.astype(a[0].dtype) * 1e-3,
+                        a[1],
+                        a[2] + i.astype(a[2].dtype) * 1e-3) + tuple(a[3:])
+
+    def dw_xla(h, w, dy):
+        _, pull = jax.vjp(lambda ww: conv(h, ww, 2), w)
+        dw, = pull(dy)
+        return gsum((dw,))
+
+    # I: given-dy dw, BOTH x and dy perturbed (loop-variant parameters)
+    scan_time('I given-dy dw, x+dy variant', dw_xla, pXD, h, w, dy)
+
+    # I2: given-dy dw, only x perturbed (the original "isolated" setup)
+    scan_time('I2 given-dy dw, x variant', dw_xla, pX, h, w, dy)
+
+    # J: fwd + XLA dw with an optimization_barrier on the cotangent
+    def c2stop_barrier(h, w):
+        y = conv(h, w, 2)
+        dyv = jax.lax.optimization_barrier(2.0 * jax.lax.stop_gradient(y))
+        return jnp.sum(y * dyv)
+
+    scan_time('J fwd+grads, barrier on dy', lambda *a: gsum(
+        jax.grad(c2stop_barrier, argnums=(0, 1))(*a)), pX, h, w)
+
+    # K: 4-shift einsum dw (conv2d._bwd fallback), given-dy loop-variant
+    def dw_einsum(x, dy):
+        B_, H_, W_, C_ = x.shape
+        H2_, W2_ = H_ // 2, W_ // 2
+        xs = x.reshape(B_, H2_, 2, W2_, 2, C_).transpose(0, 1, 3, 2, 4, 5)
+        xs = xs.reshape(B_, H2_, W2_, 4 * C_)
+        xs = jnp.pad(xs, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        acc = 0.0
+        for a in range(2):
+            for b in range(2):
+                win = jax.lax.dynamic_slice(
+                    xs, (0, a, b, 0), (B_, H2_, W2_, 4 * C_))
+                acc = acc + gsum((jnp.einsum(
+                    'bhwk,bhwf->kf', win, dy,
+                    preferred_element_type=jnp.float32),))
+        return acc
+
+    scan_time('K einsum dw, x+dy variant',
+              lambda h, w, dy: dw_einsum(h, dy), pXD, h, w, dy)
+
+    # L: fwd + einsum dw, live cotangent (the model's actual joint shape)
+    def fwd_einsum_dw(h, w):
+        y = conv(h, w, 2)
+        dyv = 2.0 * jax.lax.stop_gradient(y)
+        return dw_einsum(h, dyv)
+
+    scan_time('L fwd + einsum dw, live dy', fwd_einsum_dw, pX, h, w)
+
+    # M: L with a barrier on the cotangent
+    def fwd_einsum_dw_barrier(h, w):
+        y = conv(h, w, 2)
+        dyv = jax.lax.optimization_barrier(2.0 * jax.lax.stop_gradient(y))
+        return dw_einsum(h, dyv)
+
+    scan_time('M fwd + einsum dw, barrier dy', fwd_einsum_dw_barrier, pX, h, w)
 
 
 if __name__ == '__main__':
