@@ -173,22 +173,24 @@ class SharedMLP(nn.Module):
         return x
 
 
-class _Conv3x3S2(nn.Module):
-    """nn.Conv-compatible 3x3/stride-2 conv backed by ops/conv2d.py
-    (custom weight-gradient); param layout matches nn.Conv exactly."""
+class _Conv3x3(nn.Module):
+    """nn.Conv-compatible 3x3 SAME conv backed by ops/conv2d.py (barriered
+    backward, see its module docstring); param layout matches nn.Conv
+    exactly."""
 
     features: int
+    stride: int = 2
     kernel_init: Callable = kaiming_normal()
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        from ..ops.conv2d import conv3x3_stride2
+        from ..ops.conv2d import conv3x3_same
         C = x.shape[-1]
         kernel = self.param('kernel', self.kernel_init,
                             (3, 3, C, self.features))
         dt = self.dtype or x.dtype
-        return conv3x3_stride2(x.astype(dt), kernel.astype(dt))
+        return conv3x3_same(x.astype(dt), kernel.astype(dt), self.stride)
 
 
 class Conv2dBlock(nn.Module):
@@ -204,14 +206,15 @@ class Conv2dBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, bn_momentum=0.1):
-        from ..ops.conv2d import conv3x3_stride2, conv3x3_stride2_available
+        from ..ops.conv2d import conv3x3_same_available
         if (not self.use_bias
-                and conv3x3_stride2_available(x.shape, self.kernel,
-                                              self.stride)):
-            # downsampling conv with the 4-shift-matmul weight gradient
-            # (ops/conv2d.py); same values, param path kept at Conv_0/kernel
-            x = _Conv3x3S2(self.features, kernel_init=kaiming_normal(),
-                           dtype=self.dtype, name='Conv_0')(x)
+                and conv3x3_same_available(x.shape, self.kernel,
+                                           self.stride)):
+            # tower conv with the barriered backward (ops/conv2d.py); same
+            # values, param path kept at Conv_0/kernel
+            x = _Conv3x3(self.features, stride=self.stride,
+                         kernel_init=kaiming_normal(),
+                         dtype=self.dtype, name='Conv_0')(x)
         else:
             x = nn.Conv(self.features, (self.kernel, self.kernel),
                         strides=(self.stride, self.stride), padding='SAME',

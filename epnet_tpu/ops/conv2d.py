@@ -1,22 +1,34 @@
-"""3x3 stride-2 SAME convolution with a TPU-friendly backward.
+"""3x3 SAME convolutions with a TPU-friendly backward for the image tower.
 
-The image tower's downsampling convs (reference BasicBlock,
-``lib/net/pointnet2_msg.py:17-33``) dominate the training backward: XLA's
-weight-gradient for a strided conv costs ~13.5 ms at the 384x1280x64
-block vs ~3 ms of MXU math (tools/profile_s2conv.py). The forward and the
-input-gradient lowerings are fine; only the weight grad is replaced.
+The image tower's convs (reference BasicBlock, ``lib/net/pointnet2_msg.py:
+17-33``) dominate the training backward. The cost is NOT the gradient math:
+at the blk0 train shape (B4, 384x1280, 64ch, bf16) XLA's own given-dy
+dx+dw lowerings measure 1-3 ms even when loop-variant, yet the *joint*
+grad-of-forward graph measures 15.6 ms (stride 2) / 19.9 ms (stride 1) —
+an XLA fusion/layout pathology around the in-graph cotangent, independent
+of cotangent dtype, mixed precision, or recompute
+(tools/profile_s2bwd_variants.py variants A-M).
 
-Weight grad via space-to-depth phase decomposition: with even H, W and
-XLA SAME padding (pad_lo=0, pad_hi=1), ``y[h'] = sum_dy x[2h'+dy] K[dy]``,
-and writing dy = 2a+p (a, p in {0,1}) turns the strided 3x3 correlation
-into four *unstrided* full-tensor contractions over the half-res
-space-to-depth view:
+Fix, measured in tools/profile_conv_fix{,2}.py:
 
-    dK[2a+p, 2b+q] = einsum('bhwc,bhwf->cf', s2d(x)[., h+a, w+b, (p,q,.)], dy)
+* backward routes the cotangent through ``lax.optimization_barrier`` and
+  then uses XLA's OWN vjp lowerings for dx and dw (stride 2:
+  15.6 -> 8.4 ms joint, of which ~4.9 ms is the forward itself);
+* the hand-rolled 4-shift-einsum weight grad kept from round 2 is
+  REMOVED: measured loop-variant it is 5.4 ms vs 1.15 ms for XLA's native
+  dw conv — it only ever looked good against the joint-graph pathology;
+* barriering the residuals (x, w) as well makes things worse
+  (11.9 vs 8.4 ms) — only the cotangent is barriered;
+* at the REAL tower shapes (tools/profile_tower_convs.py) the barrier
+  helps every stride-2 conv (joint totals: lax 24.8, r2 einsum 20.7,
+  barriered 13.3 ms) but HURTS every stride-1 conv (lax 11.0 vs 20.9;
+  blk0's 3->64 conv 3.6 -> 12.0) — so the custom path ships for stride 2
+  only (conv3x3_same_available), and stride 1 stays on XLA autodiff.
 
-i.e. one (4C, B*H2*W2) @ (B*H2*W2, F) matmul per (a, b) shift — plain
-MXU reductions with no window striding. The (a,b,p,q) -> 3x3 slot map is
-injective; slot (1,1) per axis falls outside the kernel and is dropped.
+The optional Pallas weight-grad kernels (ops/conv_dw_pallas.py, gated
+behind EPNET_PALLAS_DW=1) are kept for iteration; they are numerically
+tighter (f32 VMEM accumulation) but slower than XLA's dw at most tower
+shapes.
 """
 
 from __future__ import annotations
@@ -30,20 +42,73 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _conv_s2(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+def _conv(x: jnp.ndarray, w: jnp.ndarray, stride: int) -> jnp.ndarray:
     return jax.lax.conv_general_dilated(
-        x, w, (2, 2), 'SAME', dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        x, w, (stride, stride), 'SAME',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
 
 
-@jax.custom_vjp
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv3x3_same(x: jnp.ndarray, w: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """x (B, H, W, C); w (3, 3, C, F). SAME padding — identical values to
+    ``lax.conv_general_dilated``; the custom part is only the backward
+    wiring (barriered cotangent + XLA-native pulls, see module docstring).
+    """
+    return _conv(x, w, stride)
+
+
+def _fwd(x, w, stride):
+    return _conv(x, w, stride), (x, w)
+
+
+def _bwd(stride, res, dy):
+    x, w = res
+    B, H, W, C = x.shape
+    F = w.shape[-1]
+
+    # The barrier detaches the cotangent from its producer fusion; without
+    # it XLA compiles the fwd+bwd cluster ~2x slower (module docstring).
+    dyb = lax.optimization_barrier(dy)
+
+    if stride == 2 and _dw_available(H // 2, C, F):
+        _, pull_x = jax.vjp(lambda xx: _conv(xx, w, stride), x)
+        dx, = pull_x(dyb)
+        dw = _dw_pallas(x, dyb, F).astype(w.dtype)
+        return dx, dw
+
+    _, pull = jax.vjp(lambda xx, ww: _conv(xx, ww, stride), x, w)
+    dx, dw = pull(dyb)
+    return dx, dw
+
+
+conv3x3_same.defvjp(_fwd, _bwd)
+
+
 def conv3x3_stride2(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """x (B, H, W, C) with even H, W; w (3, 3, C, F). SAME padding,
-    stride 2 — identical values to ``lax.conv_general_dilated``."""
-    return _conv_s2(x, w)
+    """Back-compat wrapper: the downsampling (stride-2, even H/W) case."""
+    return conv3x3_same(x, w, 2)
 
 
-def _fwd(x, w):
-    return _conv_s2(x, w), (x, w)
+def conv3x3_same_available(x_shape, kernel: int, stride: int) -> bool:
+    """Ship the custom backward for stride 2 only: per-conv profiling at
+    the real tower shapes (tools/profile_tower_convs.py) shows the barrier
+    helps every s2 conv (24.8 -> 13.3 ms total vs lax autodiff) but hurts
+    every s1 conv (11.0 -> 20.9 ms; blk0's 3->64 conv 3.6 -> 12.0!)."""
+    return (kernel == 3 and stride == 2
+            and x_shape[1] % 2 == 0 and x_shape[2] % 2 == 0)
+
+
+# Back-compat alias (round-2 name).
+def conv3x3_stride2_available(x_shape, kernel: int, stride: int) -> bool:
+    return stride == 2 and conv3x3_same_available(x_shape, kernel, stride)
+
+
+# ---------------------------------------------------------------------------
+# Optional Pallas stride-2 weight grad (EPNET_PALLAS_DW=1): slot-grid
+# streaming kernel with f32 VMEM accumulation. Numerically tighter than
+# lax's bf16 weight grad (rel 3e-7 vs 2.6e-3 against an f32 oracle) but
+# slower at most tower shapes; kept for iteration.
+# ---------------------------------------------------------------------------
 
 
 def _dw_kernel(x_ref, dyA_ref, dyB_ref, out_ref, *, tm, W2):
@@ -115,55 +180,9 @@ def _dw_pallas(x, dy, F, tm=4, interpret=False):
 
 
 def _dw_available(H2, C, F, tm=4):
-    """Off by default: the kernel is *numerically better* than lax's bf16
-    weight grad (f32 MXU accumulation: rel 3e-7 vs 2.6e-3 against an f32
-    oracle) but measured 41 ms at the 384x1280 block — per-grid-step VMEM
-    reshuffles (row/col phase selects of the x tile, 9 slots x 48 tiles)
-    dominate; every restructuring modeled lands at the same ~10 ms
-    multi-HBM-pass floor the XLA einsum fallback already hits. Enable
-    with EPNET_PALLAS_DW=1 to iterate on it."""
+    """Off by default — see module docstring. Enable with EPNET_PALLAS_DW=1
+    to iterate on the Pallas weight-grad path."""
     import os
     return (os.environ.get('EPNET_PALLAS_DW', '0') == '1'
             and H2 % tm == 0 and C * F <= 256 * 256
             and jax.default_backend() == 'tpu')
-
-
-def _bwd(res, dy):
-    x, w = res
-    B, H, W, C = x.shape
-    F = w.shape[-1]
-    H2, W2 = H // 2, W // 2
-
-    # input grad: XLA's transposed-conv lowering is already good
-    _, pull = jax.vjp(lambda xx: _conv_s2(xx, w), x)
-    dx, = pull(dy)
-
-    if _dw_available(H2, C, F):
-        dw = _dw_pallas(x, dy, F).astype(w.dtype)
-        return dx, dw
-
-    # fallback: 4-shift matmuls over the space-to-depth view
-    xs = x.reshape(B, H2, 2, W2, 2, C).transpose(0, 1, 3, 2, 4, 5)
-    xs = xs.reshape(B, H2, W2, 4 * C)
-    xs = jnp.pad(xs, ((0, 0), (0, 1), (0, 1), (0, 0)))
-    dw4 = []
-    for a in range(2):
-        for b in range(2):
-            win = jax.lax.dynamic_slice(
-                xs, (0, a, b, 0), (B, H2, W2, 4 * C))
-            dw4.append(jnp.einsum(
-                'bhwk,bhwf->kf', win, dy,
-                preferred_element_type=jnp.float32))
-    # (2a, 2b, (p, q, C), F) -> K4[2a+p, 2b+q, C, F] -> keep the 3x3 window
-    k4 = jnp.stack(dw4).reshape(2, 2, 2, 2, C, F)
-    k4 = k4.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, C, F)
-    dw = k4[:3, :3].astype(w.dtype)
-    return dx, dw
-
-
-conv3x3_stride2.defvjp(_fwd, _bwd)
-
-
-def conv3x3_stride2_available(x_shape, kernel: int, stride: int) -> bool:
-    return (kernel == 3 and stride == 2
-            and x_shape[1] % 2 == 0 and x_shape[2] % 2 == 0)

@@ -31,6 +31,30 @@ def test_value_and_grads_match_lax():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_stride1_value_and_grads_match_lax():
+    from epnet_tpu.ops.conv2d import conv3x3_same
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 15, 23, 5).astype(np.float32))  # odd H, W
+    w = jnp.asarray((rng.randn(3, 3, 5, 7) / 10).astype(np.float32))
+    ct = jnp.asarray(rng.randn(2, 15, 23, 7).astype(np.float32))
+
+    def _lax_s1(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), 'SAME', dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+    np.testing.assert_allclose(np.asarray(conv3x3_same(x, w, 1)),
+                               np.asarray(_lax_s1(x, w)),
+                               rtol=1e-5, atol=1e-5)
+    gx1, gw1 = jax.grad(lambda x, w: jnp.sum(conv3x3_same(x, w, 1) * ct),
+                        argnums=(0, 1))(x, w)
+    gx2, gw2 = jax.grad(lambda x, w: jnp.sum(_lax_s1(x, w) * ct),
+                        argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_conv2dblock_param_path_unchanged():
     from epnet_tpu.models.layers import Conv2dBlock
     x = jnp.zeros((1, 8, 12, 4))
