@@ -52,6 +52,9 @@ ITERS = 10
 # occupancy and approx_max_k recall are exercised across scenes instead of
 # replaying one batch — VERDICT r2 weak item 3). ITERS % ROTATE == 0.
 ROTATE = int(os.environ.get('EPNET_BENCH_ROTATE', '5'))
+assert ITERS % ROTATE == 0, (
+    f'ITERS ({ITERS}) must be a multiple of EPNET_BENCH_ROTATE ({ROTATE}) '
+    'or scenes are weighted unevenly across the scan')
 
 
 def bench_config():

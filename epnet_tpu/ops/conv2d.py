@@ -25,10 +25,15 @@ Fix, measured in tools/profile_conv_fix{,2}.py:
   blk0's 3->64 conv 3.6 -> 12.0) — so the custom path ships for stride 2
   only (conv3x3_same_available), and stride 1 stays on XLA autodiff.
 
-The optional Pallas weight-grad kernels (ops/conv_dw_pallas.py, gated
-behind EPNET_PALLAS_DW=1) are kept for iteration; they are numerically
+An optional Pallas weight-grad kernel (the in-file ``_dw_pallas`` below,
+gated behind EPNET_PALLAS_DW=1) is kept for iteration; it is numerically
 tighter (f32 VMEM accumulation) but slower than XLA's dw at most tower
-shapes.
+shapes. (tools/conv_dw_pallas_attic.py holds the earlier stacked-shift dw
+exploration, reachable only from the profiler tools.)
+
+EPNET_S2_BARRIER=0 disables the custom backward entirely (plain lax
+autodiff) for end-to-end A/B of the barrier fix inside the full train
+step.
 """
 
 from __future__ import annotations
@@ -48,17 +53,45 @@ def _conv(x: jnp.ndarray, w: jnp.ndarray, stride: int) -> jnp.ndarray:
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
 
 
+def _fwd_pallas_ok(x_shape, F) -> bool:
+    """Gate the Pallas s2 forward kernel (ops/conv_fwd_pallas.py) to the
+    shapes where it beats XLA's strided-conv lowering. Profiled on the
+    real chip (tools/profile_fwd_pallas.py, B4 bf16): blk0 64->64
+    @384x1280 is 4.7 ms (XLA) vs ~1.0 (Pallas); the deeper, lower-res s2
+    convs are near-roofline under XLA already. EPNET_PALLAS_FWD=0
+    disables for A/B."""
+    import os
+    if os.environ.get('EPNET_PALLAS_FWD', '1') == '0':
+        return False
+    B, H, W, C = x_shape
+    if not (H % 2 == 0 and W % 2 == 0 and C <= 64
+            and jax.default_backend() == 'tpu'):
+        return False
+    from .conv_fwd_pallas import pick_fwd_s2_tm
+    return pick_fwd_s2_tm(H, W, C, F) is not None
+
+
+def _conv_fwd(x: jnp.ndarray, w: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """Forward-only dispatch: same values as ``_conv`` (bf16 operands,
+    f32 MXU accumulation) with the Pallas kernel where it wins."""
+    if stride == 2 and _fwd_pallas_ok(x.shape, w.shape[-1]):
+        from .conv_fwd_pallas import conv3x3_s2_fwd_pallas
+        return conv3x3_s2_fwd_pallas(x, w)
+    return _conv(x, w, stride)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def conv3x3_same(x: jnp.ndarray, w: jnp.ndarray, stride: int) -> jnp.ndarray:
     """x (B, H, W, C); w (3, 3, C, F). SAME padding — identical values to
     ``lax.conv_general_dilated``; the custom part is only the backward
-    wiring (barriered cotangent + XLA-native pulls, see module docstring).
+    wiring (barriered cotangent + XLA-native pulls, see module docstring)
+    plus the Pallas forward at the shapes where it wins (``_fwd_pallas_ok``).
     """
-    return _conv(x, w, stride)
+    return _conv_fwd(x, w, stride)
 
 
 def _fwd(x, w, stride):
-    return _conv(x, w, stride), (x, w)
+    return _conv_fwd(x, w, stride), (x, w)
 
 
 def _bwd(stride, res, dy):
@@ -70,7 +103,7 @@ def _bwd(stride, res, dy):
     # it XLA compiles the fwd+bwd cluster ~2x slower (module docstring).
     dyb = lax.optimization_barrier(dy)
 
-    if stride == 2 and _dw_available(H // 2, C, F):
+    if stride == 2 and _dw_available(H, W, C, F):
         _, pull_x = jax.vjp(lambda xx: _conv(xx, w, stride), x)
         dx, = pull_x(dyb)
         dw = _dw_pallas(x, dyb, F).astype(w.dtype)
@@ -93,7 +126,13 @@ def conv3x3_same_available(x_shape, kernel: int, stride: int) -> bool:
     """Ship the custom backward for stride 2 only: per-conv profiling at
     the real tower shapes (tools/profile_tower_convs.py) shows the barrier
     helps every s2 conv (24.8 -> 13.3 ms total vs lax autodiff) but hurts
-    every s1 conv (11.0 -> 20.9 ms; blk0's 3->64 conv 3.6 -> 12.0!)."""
+    every s1 conv (11.0 -> 20.9 ms; blk0's 3->64 conv 3.6 -> 12.0!).
+
+    EPNET_S2_BARRIER=0 routes even the s2 convs back to plain lax autodiff
+    (end-to-end A/B of the barrier fix inside the full train step)."""
+    import os
+    if os.environ.get('EPNET_S2_BARRIER', '1') == '0':
+        return False
     return (kernel == 3 and stride == 2
             and x_shape[1] % 2 == 0 and x_shape[2] % 2 == 0)
 
@@ -179,10 +218,12 @@ def _dw_pallas(x, dy, F, tm=4, interpret=False):
     return out.reshape(3, 3, C, F)
 
 
-def _dw_available(H2, C, F, tm=4):
+def _dw_available(H, W, C, F, tm=4):
     """Off by default — see module docstring. Enable with EPNET_PALLAS_DW=1
-    to iterate on the Pallas weight-grad path."""
+    to iterate on the Pallas weight-grad path. Requires even H AND W (the
+    kernel's space-to-depth phase reshapes assume both)."""
     import os
     return (os.environ.get('EPNET_PALLAS_DW', '0') == '1'
-            and H2 % tm == 0 and C * F <= 256 * 256
+            and H % 2 == 0 and W % 2 == 0 and (H // 2) % tm == 0
+            and C * F <= 256 * 256
             and jax.default_backend() == 'tpu')

@@ -64,6 +64,22 @@ def test_conv2dblock_param_path_unchanged():
     assert v['params']['Conv_0']['kernel'].shape == (3, 3, 4, 6)
 
 
+def test_fwd_s2_pallas_kernel_interpret():
+    from epnet_tpu.ops.conv_fwd_pallas import conv3x3_s2_fwd_pallas
+    rng = np.random.RandomState(3)
+    B, H, W, C, F = 2, 32, 48, 8, 16
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    w = jnp.asarray((rng.randn(3, 3, C, F) / 10).astype(np.float32))
+    y = conv3x3_s2_fwd_pallas(x, w, tm=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(_lax_conv(x, w)),
+                               rtol=1e-4, atol=1e-4)
+    # single-row-tile edge case (nt == 1: the d=2 tap of the last output
+    # row must read SAME padding, not wrap)
+    y1 = conv3x3_s2_fwd_pallas(x, w, tm=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(_lax_conv(x, w)),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_dw_pallas_kernel_interpret():
     from epnet_tpu.ops.conv2d import _dw_pallas
     rng = np.random.RandomState(2)

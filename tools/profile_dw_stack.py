@@ -1,7 +1,7 @@
 """Profile weight-grad variants for every image-tower conv (B4 train shapes).
 
 Compares, per conv: XLA's autodiff dw vs the stacked-shift Pallas kernels
-(ops/conv_dw_pallas.py dw3x3_s1_stack / dw3x3_s2_stack) that do all 9
+(tools/conv_dw_pallas_attic.py dw3x3_s1_stack / dw3x3_s2_stack) that do all 9
 kernel slots in one (3C, 3F) / (4C, 4F) MXU dot per row tile. Also
 differential-checks each Pallas result against the f32 XLA oracle.
 
@@ -51,7 +51,8 @@ def scan_time(name, op, *args):
 def main():
     import jax
     import jax.numpy as jnp
-    from epnet_tpu.ops.conv_dw_pallas import (dw3x3_s1_stack, dw3x3_s2_stack,
+    sys.path.insert(0, os.path.join(os.getcwd(), 'tools'))
+    from conv_dw_pallas_attic import (dw3x3_s1_stack, dw3x3_s2_stack,
                                               pick_s1_params, pick_s2_params)
 
     B = int(os.environ.get('B', '4'))

@@ -3,7 +3,7 @@
 Run on TPU. First verifies both kernels against jax.grad on small shapes,
 then scan-times, for each image-block conv at B4 train shapes: XLA's dw
 (grad wrt w only), and the static-slot Pallas kernel
-(epnet_tpu/ops/conv_dw_pallas.py).
+(tools/conv_dw_pallas_attic.py).
 """
 import os
 import sys
@@ -45,7 +45,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from epnet_tpu.ops.conv_dw_pallas import dw3x3_s1_pallas, dw3x3_s2_pallas
+    sys.path.insert(0, os.path.join(os.getcwd(), 'tools'))
+    from conv_dw_pallas_attic import dw3x3_s1_pallas, dw3x3_s2_pallas
 
     interp = jax.default_backend() != 'tpu'
 
