@@ -70,6 +70,9 @@ def tag(metric):
 
 
 def main():
+    if os.environ.get('EPNET_BENCH_ONLY', '') == 'train':
+        bench_train()
+        return
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -146,27 +149,13 @@ def bench_train():
                                          jit_multi_train_step)
 
     cfg = bench_config()
-    rng = np.random.RandomState(1)
     K = 4
-    batches = []
-    for k in range(K):
-        b = _full_batch(cfg, batch_size=TRAIN_BATCH, seed=k)
-        N = cfg.RPN.NUM_POINTS
-        G = 20
-        gt = np.stack([rng.uniform(-30, 30, (TRAIN_BATCH, G)),
-                       rng.uniform(0.8, 1.6, (TRAIN_BATCH, G)),
-                       rng.uniform(5, 60, (TRAIN_BATCH, G)),
-                       rng.uniform(1.4, 1.7, (TRAIN_BATCH, G)),
-                       rng.uniform(1.5, 1.7, (TRAIN_BATCH, G)),
-                       rng.uniform(3.5, 4.2, (TRAIN_BATCH, G)),
-                       rng.uniform(-np.pi, np.pi, (TRAIN_BATCH, G))],
-                      axis=-1).astype(np.float32)
-        b['gt_boxes3d'] = gt
-        b['rpn_cls_label'] = (rng.rand(TRAIN_BATCH, N) > 0.95).astype(np.int32)
-        reg = np.zeros((TRAIN_BATCH, N, 7), np.float32)
-        reg[..., 3:6] = 1.5
-        b['rpn_reg_label'] = reg
-        batches.append(device_batch(b))
+    # Structured scenes + scene-derived gt/labels — methodology-consistent
+    # with the inference bench (proposal-target IoU and fg sampling see
+    # realistic clustered geometry, not uniform random boxes).
+    batches = [device_batch(_full_batch(cfg, batch_size=TRAIN_BATCH, seed=k,
+                                        with_labels=True))
+               for k in range(K)]
 
     state, model, tx = create_train_state(cfg, jax.random.PRNGKey(0),
                                           batches[0], total_steps=100)

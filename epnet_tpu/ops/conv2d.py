@@ -53,30 +53,16 @@ def _conv(x: jnp.ndarray, w: jnp.ndarray, stride: int) -> jnp.ndarray:
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
 
 
-def _fwd_pallas_ok(x_shape, F) -> bool:
-    """Gate the Pallas s2 forward kernel (ops/conv_fwd_pallas.py) to the
-    shapes where it beats XLA's strided-conv lowering. Profiled on the
-    real chip (tools/profile_fwd_pallas.py, B4 bf16): blk0 64->64
-    @384x1280 is 4.7 ms (XLA) vs ~1.0 (Pallas); the deeper, lower-res s2
-    convs are near-roofline under XLA already. EPNET_PALLAS_FWD=0
-    disables for A/B."""
-    import os
-    if os.environ.get('EPNET_PALLAS_FWD', '1') == '0':
-        return False
-    B, H, W, C = x_shape
-    if not (H % 2 == 0 and W % 2 == 0 and C <= 64
-            and jax.default_backend() == 'tpu'):
-        return False
-    from .conv_fwd_pallas import pick_fwd_s2_tm
-    return pick_fwd_s2_tm(H, W, C, F) is not None
-
-
 def _conv_fwd(x: jnp.ndarray, w: jnp.ndarray, stride: int) -> jnp.ndarray:
-    """Forward-only dispatch: same values as ``_conv`` (bf16 operands,
-    f32 MXU accumulation) with the Pallas kernel where it wins."""
-    if stride == 2 and _fwd_pallas_ok(x.shape, w.shape[-1]):
-        from .conv_fwd_pallas import conv3x3_s2_fwd_pallas
-        return conv3x3_s2_fwd_pallas(x, w)
+    """Forward dispatch. Round 4 settled the forward question with on-chip
+    measurement (tools/profile_fwd_pallas.py, B4 bf16): XLA's strided
+    lowering wins at EVERY tower s2 shape — the round-3 Pallas row-tile
+    kernel cannot compile within v5e's 16 MB scoped VMEM (its phase-split
+    intermediates tile to 79 MB), and the space-to-depth 2x2-conv
+    reformulation loses everywhere (blk0 6.2 vs 5.0 ms, blk1 3.2 vs 1.3,
+    blk2 0.9 vs 0.3 — the s2d transpose costs more than the strided
+    inefficiency it removes). Both live in tools/conv_fwd_attic.py with
+    the numbers; the shipped forward is plain lax."""
     return _conv(x, w, stride)
 
 
@@ -84,8 +70,7 @@ def _conv_fwd(x: jnp.ndarray, w: jnp.ndarray, stride: int) -> jnp.ndarray:
 def conv3x3_same(x: jnp.ndarray, w: jnp.ndarray, stride: int) -> jnp.ndarray:
     """x (B, H, W, C); w (3, 3, C, F). SAME padding — identical values to
     ``lax.conv_general_dilated``; the custom part is only the backward
-    wiring (barriered cotangent + XLA-native pulls, see module docstring)
-    plus the Pallas forward at the shapes where it wins (``_fwd_pallas_ok``).
+    wiring (barriered cotangent + XLA-native pulls, see module docstring).
     """
     return _conv_fwd(x, w, stride)
 

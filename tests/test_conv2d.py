@@ -64,20 +64,19 @@ def test_conv2dblock_param_path_unchanged():
     assert v['params']['Conv_0']['kernel'].shape == (3, 3, 4, 6)
 
 
-def test_fwd_s2_pallas_kernel_interpret():
-    from epnet_tpu.ops.conv_fwd_pallas import conv3x3_s2_fwd_pallas
-    rng = np.random.RandomState(3)
-    B, H, W, C, F = 2, 32, 48, 8, 16
-    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
-    w = jnp.asarray((rng.randn(3, 3, C, F) / 10).astype(np.float32))
-    y = conv3x3_s2_fwd_pallas(x, w, tm=8, interpret=True)
-    np.testing.assert_allclose(np.asarray(y), np.asarray(_lax_conv(x, w)),
-                               rtol=1e-4, atol=1e-4)
-    # single-row-tile edge case (nt == 1: the d=2 tap of the last output
-    # row must read SAME padding, not wrap)
-    y1 = conv3x3_s2_fwd_pallas(x, w, tm=16, interpret=True)
-    np.testing.assert_allclose(np.asarray(y1), np.asarray(_lax_conv(x, w)),
-                               rtol=1e-4, atol=1e-4)
+def test_shipped_forward_is_lax():
+    # Round-4 resolution of the forward question: both replacement
+    # forwards LOSE on-chip (the Pallas row-tile kernel exceeds scoped
+    # VMEM at compile; space-to-depth is slower at every tower shape —
+    # see tools/conv_fwd_attic.py for the kernels + measurements), so the
+    # shipped primal must be XLA's own conv, with the custom part
+    # backward-only.
+    from epnet_tpu.ops import conv2d
+    x = jnp.zeros((1, 8, 12, 4))
+    w = jnp.zeros((3, 3, 4, 6))
+    assert np.asarray(conv2d._conv_fwd(x, w, 2)).shape == (1, 4, 6, 6)
+    jaxpr = str(jax.make_jaxpr(lambda x, w: conv2d._conv_fwd(x, w, 2))(x, w))
+    assert 'pallas_call' not in jaxpr and 'custom_call' not in jaxpr
 
 
 def test_dw_pallas_kernel_interpret():

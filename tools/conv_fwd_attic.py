@@ -1,4 +1,10 @@
-"""Pallas forward kernel for the image tower's 3x3 stride-2 SAME convs.
+"""ATTIC — replacement forwards for the tower's 3x3 stride-2 convs; both
+LOSE to XLA's own strided lowering on the real chip and neither ships
+(tools/profile_fwd_pallas.py, 2026-08-20): the Pallas row-tile kernel
+exceeds v5e's 16 MB scoped VMEM at compile (phase-split intermediates
+tile to 79 MB), and the space-to-depth 2x2-conv reformulation measures
+blk0 6.18 vs 5.04 ms, blk1 3.22 vs 1.34, blk2 0.85 vs 0.31. Kept with
+the numbers so the negative result isn't re-explored.
 
 XLA's strided-conv forward at the blk0 train shape (B4, 384x1280, 64ch,
 bf16) measures ~4.9 ms against a ~0.7 ms roofline (0.37 ms MXU at the
@@ -39,14 +45,20 @@ def _fwd_s2_kernel(x_ref, xn_ref, w_ref, out_ref, u_ref, *, tm, W2, nt):
 
     xt = x_ref[0]                                   # (2tm, W, C)
     C = xt.shape[2]
+    W = xt.shape[1]
     # x row 2*(t+1)*tm — the d=2 tap of the tile's last output row; at the
     # image bottom that row is SAME padding (zero).
     xn = jnp.where(t < nt - 1, xn_ref[0], jnp.zeros_like(xn_ref[0]))
-    xrows = jnp.concatenate([xt, xn], axis=0)       # (2tm + 1, W, C)
+
+    # Row-phase extraction via reshape (a strided slice on a value lowers
+    # as a >2D gather, which Mosaic rejects — same trick as _dw_pallas).
+    xr = xt.reshape(tm, 2, W, C)
+    r0 = xr[:, 0]                                   # rows 2h
+    r1 = xr[:, 1]                                   # rows 2h + 1
+    r2 = jnp.concatenate([r0[1:], xn], axis=0)      # rows 2h + 2
 
     zc = None
-    for d in range(3):
-        rows = xrows[d:d + 2 * tm:2] if d < 2 else xrows[2:2 * tm + 1:2]
+    for d, rows in ((0, r0), (1, r1), (2, r2)):
         # rows: (tm, W, C) = x[2h + d] for the tile's h range
         pairs = rows.reshape(tm, W2, 2, C)
         ph0, ph1 = pairs[:, :, 0], pairs[:, :, 1]   # cols 2w / 2w + 1
@@ -80,6 +92,50 @@ def pick_fwd_s2_tm(H, W, C, F, itemsize=2):
         if need <= _VMEM_BUDGET:
             return tm
     return None
+
+
+def conv3x3_s2_fwd_s2d(x, w):
+    """3x3 stride-2 SAME conv as a 2x2 stride-1 conv over space-to-depth
+    phase planes — pure XLA, no Pallas.
+
+    With even H, W and tap index d = 2a + p (a = d//2, p = d%2):
+
+        y[h, w] = sum_{d,e} x[2h+d, 2w+e] K[d, e]
+                = sum_{a,b,p,q} xs_pq[h+a, w+b] K[2a+p, 2b+q]
+
+    where ``xs_pq[h, w] = x[2h+p, 2w+q]``. So the strided conv is EXACTLY a
+    dense 2x2 unit-stride conv over the (p, q)-stacked 4C-channel image,
+    with the (a=1, p=1) kernel slices zero (d=3 doesn't exist). XLA's
+    unit-stride conv lowering tiles straight onto the MXU; its strided
+    lowering at the blk0 shape measures ~4.9 ms vs a ~0.7 ms roofline
+    (module docstring), while this form pays only the space-to-depth copy
+    (2x HBM traffic of x) + 16/9 extra MACs on zero taps."""
+    B, H, W, C = x.shape
+    F = w.shape[-1]
+    assert w.shape[:3] == (3, 3, C), (x.shape, w.shape)
+    assert H % 2 == 0 and W % 2 == 0, (H, W)
+    H2, W2 = H // 2, W // 2
+    xs = x.reshape(B, H2, 2, W2, 2, C).transpose(0, 1, 3, 2, 4, 5)
+    xs = xs.reshape(B, H2, W2, 4 * C)
+    # K2[a, b, (p q c), f] = K[2a+p, 2b+q, c, f]; d=3/e=3 taps are zero
+    z = jnp.zeros_like(w[0, 0])
+    rows = {}
+    for a in (0, 1):
+        for p in (0, 1):
+            d = 2 * a + p
+            for b in (0, 1):
+                for q in (0, 1):
+                    e = 2 * b + q
+                    rows[(a, b, p, q)] = w[d, e] if d < 3 and e < 3 else z
+    k2 = jnp.stack([
+        jnp.stack([
+            jnp.concatenate([rows[(a, b, p, q)]
+                             for p in (0, 1) for q in (0, 1)], axis=0)
+            for b in (0, 1)], axis=0)
+        for a in (0, 1)], axis=0)                   # (2, 2, 4C, F)
+    return lax.conv_general_dilated(
+        xs, k2, (1, 1), [(0, 1), (0, 1)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
 
 
 def conv3x3_s2_fwd_pallas(x, w, tm=None, interpret=False):

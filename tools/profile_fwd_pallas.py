@@ -1,15 +1,23 @@
-"""A/B the Pallas s2 forward kernel (ops/conv_fwd_pallas.py) against
-XLA's strided-conv forward at the 4 tower s2 shapes (B4, bf16), plus the
-joint fwd+grad with the Pallas forward as the custom-vjp primal.
+"""A/B the replacement s2 forwards (tools/conv_fwd_attic.py: Pallas
+row-tile kernel + space-to-depth 2x2-conv reformulation) against XLA's
+strided-conv forward at the 4 tower s2 shapes (B4, bf16).
 
-Round-3 claim to validate: blk0 s2 forward 4.9 ms (XLA) vs ~0.7 ms
-roofline; deeper s2 convs already near-roofline under XLA.
+VERDICT (run on the real chip 2026-08-20, this file): XLA wins everywhere.
+  blk0 64->64 @384x1280: lax 5.04 ms, s2d 6.18, pallas: scoped-VMEM OOM
+  blk1 128->128 @192x640: lax 1.34 ms, s2d 3.22, pallas: OOM
+  blk2 256->256 @96x320:  lax 0.31 ms, s2d 0.85, pallas: OOM
+The round-3 "blk0 4.9 vs 0.7 roofline" gap is real but neither
+reformulation closes it: the Pallas kernel's phase-split intermediates
+tile to 79 MB scoped VMEM (16 MB limit) and the s2d transpose costs more
+than the strided inefficiency it removes. Shipped forward = plain lax
+(epnet_tpu/ops/conv2d.py:_conv_fwd).
 """
 import os
 import sys
 import time
 
 sys.path.insert(0, os.getcwd())
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
@@ -48,7 +56,8 @@ def main():
     import jax.numpy as jnp
     from jax import lax
 
-    from epnet_tpu.ops.conv_fwd_pallas import (conv3x3_s2_fwd_pallas,
+    from conv_fwd_attic import (conv3x3_s2_fwd_pallas,
+                                               conv3x3_s2_fwd_s2d,
                                                pick_fwd_s2_tm)
 
     B = 4
@@ -74,17 +83,32 @@ def main():
 
         # numerics first (cheap, on-device)
         ya = np.asarray(jax.jit(conv)(x, w), np.float32)
-        if tm is not None:
-            yb = np.asarray(jax.jit(conv3x3_s2_fwd_pallas)(x, w), np.float32)
-            rel = np.abs(ya - yb).max() / (np.abs(ya).max() + 1e-9)
-            print(f'{label}: tm={tm} max rel err {rel:.2e}', flush=True)
+        yc = np.asarray(jax.jit(conv3x3_s2_fwd_s2d)(x, w), np.float32)
+        rel = np.abs(ya - yc).max() / (np.abs(ya).max() + 1e-9)
+        print(f'{label}: s2d max rel err {rel:.2e}', flush=True)
+        pallas_ok = tm is not None
+        if pallas_ok:
+            try:
+                yb = np.asarray(jax.jit(conv3x3_s2_fwd_pallas)(x, w),
+                                np.float32)
+                rel = np.abs(ya - yb).max() / (np.abs(ya).max() + 1e-9)
+                print(f'{label}: pallas tm={tm} max rel err {rel:.2e}',
+                      flush=True)
+            except Exception as e:  # e.g. scoped-VMEM OOM at compile
+                pallas_ok = False
+                print(f'{label}: pallas tm={tm} FAILED: '
+                      f'{str(e).splitlines()[0][:120]}', flush=True)
         else:
             print(f'{label}: no tm fits VMEM — Pallas unavailable', flush=True)
 
         scan_time(f'{label} fwd [lax]',
                   lambda x, w: jnp.sum(conv(x, w).astype(jnp.float32)),
                   pX, x, w)
-        if tm is not None:
+        scan_time(f'{label} fwd [s2d]',
+                  lambda x, w: jnp.sum(
+                      conv3x3_s2_fwd_s2d(x, w).astype(jnp.float32)),
+                  pX, x, w)
+        if pallas_ok:
             scan_time(
                 f'{label} fwd [pallas]',
                 lambda x, w: jnp.sum(
