@@ -39,6 +39,17 @@ class PointBackbone(nn.Module):
         xyz = pts_input[..., 0:3]
         feats = pts_input[..., 3:] if pts_input.shape[-1] > 3 else None
 
+        # Perf-experiment knobs for the image tower (its backward is the
+        # train-step dominator — tools/profile_train_cuts.py puts it at
+        # 68.7 of ~100 ms backward at B4): EPNET_IMG_REMAT=1 rematerializes
+        # each block in the backward (restructures XLA's fwd+bwd fusion
+        # clusters); EPNET_IMG_F32=1 runs the tower in f32.
+        import os
+        img_block_cls = ImageBlock
+        if os.environ.get('EPNET_IMG_REMAT', '0') == '1':
+            img_block_cls = nn.remat(ImageBlock, static_argnums=(2,))
+        img_dt = None if os.environ.get('EPNET_IMG_F32', '0') == '1' else dt
+
         l_xyz, l_feats = [xyz], [feats]
         # per-level fps indices + Morton-sortedness (level 0 is sorted by the
         # loader when BLOCK_LOCAL is on; a level stays sorted iff every SA
@@ -65,8 +76,8 @@ class PointBackbone(nn.Module):
 
             if li.ENABLED:
                 li_xy = gather_points(l_xy[i], fps_idx)
-                img_i = ImageBlock(li.IMG_CHANNELS[i + 1], dtype=dt, name=f'img_block{i}')(
-                    imgs[i], train=train, bn_momentum=bn_momentum)
+                img_i = img_block_cls(li.IMG_CHANNELS[i + 1], dtype=img_dt, name=f'img_block{i}')(
+                    imgs[i], train, bn_momentum)
                 img_gathered = feature_gather(img_i, li_xy)
                 if li.ADD_Image_Attention:
                     li_feats_i = AttenFusionConv(li.POINT_CHANNELS[i], dtype=dt, name=f'fusion{i}')(

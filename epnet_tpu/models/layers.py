@@ -193,6 +193,25 @@ class _Conv3x3(nn.Module):
         return conv3x3_same(x.astype(dt), kernel.astype(dt), self.stride)
 
 
+class _ConvStem(nn.Module):
+    """nn.Conv-compatible 3x3 s1 SAME conv for tiny C_in, backed by the
+    im2col dot (ops/conv2d.py:conv3x3_s1_im2col); param layout matches
+    nn.Conv exactly."""
+
+    features: int
+    kernel_init: Callable = kaiming_normal()
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.conv2d import conv3x3_s1_im2col
+        C = x.shape[-1]
+        kernel = self.param('kernel', self.kernel_init,
+                            (3, 3, C, self.features))
+        dt = self.dtype or x.dtype
+        return conv3x3_s1_im2col(x.astype(dt), kernel.astype(dt))
+
+
 class Conv2dBlock(nn.Module):
     """NHWC KxK conv (+ optional BN/ReLU) for the image stream."""
 
@@ -206,8 +225,16 @@ class Conv2dBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, bn_momentum=0.1):
-        from ..ops.conv2d import conv3x3_same_available
+        from ..ops.conv2d import (conv3x3_same_available,
+                                  stem_im2col_available)
         if (not self.use_bias
+                and stem_im2col_available(x.shape, self.kernel, self.stride)):
+            # RGB stem: im2col dot so the weight grad is one MXU
+            # contraction (ops/conv2d.py:conv3x3_s1_im2col); param path
+            # kept at Conv_0/kernel
+            x = _ConvStem(self.features, kernel_init=kaiming_normal(),
+                          dtype=self.dtype, name='Conv_0')(x)
+        elif (not self.use_bias
                 and conv3x3_same_available(x.shape, self.kernel,
                                            self.stride)):
             # tower conv with the barriered backward (ops/conv2d.py); same

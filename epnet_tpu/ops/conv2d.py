@@ -107,6 +107,38 @@ def conv3x3_stride2(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     return conv3x3_same(x, w, 2)
 
 
+def conv3x3_s1_im2col(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """3x3 SAME stride-1 conv as an explicit patches->matmul ("im2col").
+
+    For tiny C_in — the image tower's 3-channel RGB stem
+    (reference BasicBlock's first conv, ``lib/net/pointnet2_msg.py:160``) —
+    XLA's conv weight-grad lowering is the single largest item in the
+    in-graph train backward (tools/profile_train_cuts.py). As an im2col
+    dot the weight grad becomes ``dw = patches^T dy``, a clean
+    (9C, B*H*W) x (B*H*W, F) MXU contraction, and dx w.r.t. the raw image
+    is dead code (images aren't differentiated) so the 9 pad-adds of the
+    concat's VJP never run. Gated to C_in <= 8: the patches tensor is 9x
+    the input bytes, trivial at C=3 but prohibitive at tower widths."""
+    B, H, W, C = x.shape
+    F = w.shape[-1]
+    assert w.shape[:3] == (3, 3, C), (x.shape, w.shape)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    u = jnp.concatenate(
+        [xp[:, di:di + H, dj:dj + W, :] for di in range(3) for dj in range(3)],
+        axis=-1)
+    y = lax.dot_general(u.reshape(B * H * W, 9 * C), w.reshape(9 * C, F),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+    return y.reshape(B, H, W, F).astype(x.dtype)
+
+
+def stem_im2col_available(x_shape, kernel: int, stride: int) -> bool:
+    """EPNET_STEM_IM2COL=0 disables (A/B knob)."""
+    import os
+    return (os.environ.get('EPNET_STEM_IM2COL', '1') != '0'
+            and kernel == 3 and stride == 1 and x_shape[-1] <= 8)
+
+
 def conv3x3_same_available(x_shape, kernel: int, stride: int) -> bool:
     """Ship the custom backward for stride 2 only: per-conv profiling at
     the real tower shapes (tools/profile_tower_convs.py) shows the barrier

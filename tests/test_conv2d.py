@@ -79,6 +79,33 @@ def test_shipped_forward_is_lax():
     assert 'pallas_call' not in jaxpr and 'custom_call' not in jaxpr
 
 
+def test_stem_im2col_value_and_dw_match_lax():
+    # the RGB stem ships on the im2col dot (Conv2dBlock dispatch via
+    # stem_im2col_available); values and the weight grad must match lax
+    from epnet_tpu.ops.conv2d import conv3x3_s1_im2col
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 10, 14, 3).astype(np.float32))
+    w = jnp.asarray((rng.randn(3, 3, 3, 8) / 10).astype(np.float32))
+
+    def _lax_s1(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), 'SAME', dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+    ref = _lax_s1(x, w)
+    np.testing.assert_allclose(np.asarray(conv3x3_s1_im2col(x, w)),
+                               np.asarray(ref), rtol=2e-5, atol=2e-5)
+    ct = jnp.asarray(rng.randn(*ref.shape).astype(np.float32))
+    g1 = jax.grad(lambda w: jnp.sum(conv3x3_s1_im2col(x, w) * ct))(w)
+    g2 = jax.grad(lambda w: jnp.sum(_lax_s1(x, w) * ct))(w)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-4)
+
+    from epnet_tpu.models.layers import Conv2dBlock
+    blk = Conv2dBlock(6, kernel=3, stride=1, bn=True, activation=True)
+    v = blk.init({'params': jax.random.PRNGKey(0)}, jnp.zeros((1, 8, 12, 3)))
+    assert v['params']['Conv_0']['kernel'].shape == (3, 3, 3, 6)
+
+
 def test_dw_pallas_kernel_interpret():
     from epnet_tpu.ops.conv2d import _dw_pallas
     rng = np.random.RandomState(2)

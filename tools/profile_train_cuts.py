@@ -47,6 +47,15 @@ CUTS = {
     'fusion_all': ('/fusion0', '/fusion1', '/fusion2', '/fusion3',
                    'final_fusion'),
     'rcnn': ('rcnn/',),
+    # finer blk0 bisect: cutting Conv2dBlock_0's output removes conv1-dw +
+    # BN0-bwd + s2-conv-dx (its input is the cut tensor); what remains of
+    # img_block0's 30 ms is s2-dw + the d(img_1) consumers (fusion0's
+    # grid-sample scatter, img_block1's first-conv dx)
+    'b0_cb0': ('img_block0/Conv2dBlock_0',),
+    # cut at the raw s1 conv output (before BN): removes ONLY the stem
+    # conv's dw (dx wrt the image is already DCE'd — images aren't
+    # differentiated), so baseline - this = the 3->64 dw alone
+    'b0_conv1': ('img_block0/Conv2dBlock_0/Conv_0',),
 }
 
 
