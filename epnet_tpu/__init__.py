@@ -26,6 +26,28 @@ def _enable_compilation_cache():
         pass
 
 
+def _select_prng_impl():
+    """Dropout/sampling PRNG implementation.
+
+    The default threefry2x32 generates random bits with long u32
+    elementwise chains that XLA then CLONES into every consumer fusion —
+    the optimized train-step HLO carries ~6 copies of each threefry round
+    at the (B, 16384, 128) dropout-mask shapes (~12G u32 VPU ops/step).
+    'rbg' uses the hardware RngBitGenerator: one op per draw, same
+    distributions, different (still deterministic per-key) streams.
+    EPNET_RNG_IMPL ∈ {threefry2x32, rbg, unsafe_rbg} overrides.
+    """
+    try:
+        import jax
+
+        impl = _os.environ.get('EPNET_RNG_IMPL')
+        if impl:
+            jax.config.update('jax_default_prng_impl', impl)
+    except Exception:  # pragma: no cover
+        pass
+
+
 _enable_compilation_cache()
+_select_prng_impl()
 
 from .config import Config, load_config  # noqa: F401,E402

@@ -227,11 +227,13 @@ class Conv2dBlock(nn.Module):
     def __call__(self, x, train: bool = False, bn_momentum=0.1):
         from ..ops.conv2d import (conv3x3_same_available,
                                   stem_im2col_available)
-        if (not self.use_bias
+        if (not self.use_bias and train
                 and stem_im2col_available(x.shape, self.kernel, self.stride)):
-            # RGB stem: im2col dot so the weight grad is one MXU
-            # contraction (ops/conv2d.py:conv3x3_s1_im2col); param path
-            # kept at Conv_0/kernel
+            # RGB stem, TRAIN only: im2col dot so the weight grad is one
+            # MXU contraction (ops/conv2d.py:conv3x3_s1_im2col); param
+            # path kept at Conv_0/kernel. At eval the lax conv forward is
+            # ~3.7 ms/B8 faster (bench A/B: 104.8 vs 100.0 scans/s) and
+            # there is no weight grad to fix, so eval keeps lax.
             x = _ConvStem(self.features, kernel_init=kaiming_normal(),
                           dtype=self.dtype, name='Conv_0')(x)
         elif (not self.use_bias

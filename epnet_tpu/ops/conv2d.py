@@ -79,6 +79,71 @@ def _fwd(x, w, stride):
     return _conv_fwd(x, w, stride), (x, w)
 
 
+def _dx_phase_s2(dy, w):
+    """Input grad of the SAME/s2/even-H,W 3x3 conv WITHOUT zero dilation.
+
+    XLA lowers the s2 dx as an lhs_dilate=2x2 transposed conv (seen in the
+    train step's optimized HLO) — 4x the MACs on inserted zeros. With
+    y[i] = sum_d x[2i+d] K[d]:
+
+        dx[2u+p, 2v+q] = sum_{a,b in {0,1}} dy[u-a, v-b] K[p+2a, q+2b]
+
+    (taps with p+2a > 2 are zero), i.e. ONE dense 2x2 correlation of dy
+    into 4C phase channels + a depth-to-space interleave — 16/9 of the
+    forward FLOPs, all dense."""
+    Bq, H2, W2, F = dy.shape
+    C = w.shape[2]
+    z = jnp.zeros_like(w[0, 0].T)                   # (F, C)
+    taps = {}
+    for ap in (0, 1):                               # ap = 1 - a
+        for bp in (0, 1):
+            for p in (0, 1):
+                for q in (0, 1):
+                    d = p + 2 * (1 - ap)
+                    e = q + 2 * (1 - bp)
+                    taps[(ap, bp, p, q)] = (w[d, e].T if d <= 2 and e <= 2
+                                            else z)
+    kp = jnp.stack([
+        jnp.stack([
+            jnp.concatenate([taps[(ap, bp, p, q)]
+                             for p in (0, 1) for q in (0, 1)], axis=1)
+            for bp in (0, 1)], axis=0)
+        for ap in (0, 1)], axis=0)                  # (2, 2, F, 4C)
+    out = lax.conv_general_dilated(
+        dy, kp, (1, 1), ((1, 0), (1, 0)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))  # (B, H2, W2, 4C)
+    out = out.reshape(Bq, H2, W2, 2, 2, C)
+    return out.transpose(0, 1, 3, 2, 4, 5).reshape(Bq, 2 * H2, 2 * W2, C)
+
+
+def _dw_phase_s2(x, dy, wshape):
+    """Weight grad of the SAME/s2 conv without rhs dilation: slot (d, e)
+    is one (C, B*H2*W2) x (B*H2*W2, F) dot against the matching strided
+    phase of x (9 dense dots; XLA's lowering is a giant-window conv with
+    rhs_dilate=2x2 over the zero-dilated cotangent)."""
+    B, H, W, C = x.shape
+    _, H2, W2, F = dy.shape
+    dyf = dy.reshape(B * H2 * W2, F)
+    slots = []
+    for d in range(3):
+        for e in range(3):
+            # x[2h+d, 2w+e] for h < H2, w < W2: rows d..d+2H2-2 step 2
+            xs = lax.slice(x, (0, d, e, 0), (B, min(d + 2 * H2 - 1, H) ,
+                                             min(e + 2 * W2 - 1, W), C),
+                           (1, 2, 2, 1))
+            # bottom/right edge taps (d or e == 2) fall one row/col short —
+            # SAME pad_hi=1 means that tap reads zeros at the image edge
+            hs, ws = xs.shape[1], xs.shape[2]
+            if hs < H2 or ws < W2:
+                xs = jnp.pad(xs, ((0, 0), (0, H2 - hs), (0, W2 - ws),
+                                  (0, 0)))
+            slots.append(lax.dot_general(
+                xs.reshape(B * H2 * W2, C), dyf,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+    return jnp.stack(slots, axis=0).reshape(3, 3, C, F).astype(wshape)
+
+
 def _bwd(stride, res, dy):
     x, w = res
     B, H, W, C = x.shape
@@ -92,6 +157,21 @@ def _bwd(stride, res, dy):
         _, pull_x = jax.vjp(lambda xx: _conv(xx, w, stride), x)
         dx, = pull_x(dyb)
         dw = _dw_pallas(x, dyb, F).astype(w.dtype)
+        return dx, dw
+
+    if stride == 2:
+        import os
+        mode = os.environ.get('EPNET_S2_PHASE_BWD', '')
+        if 'dx' in mode or mode == '1':
+            dx = _dx_phase_s2(dyb, w)
+        else:
+            _, pull_x = jax.vjp(lambda xx: _conv(xx, w, stride), x)
+            dx, = pull_x(dyb)
+        if 'dw' in mode or mode == '1':
+            dw = _dw_phase_s2(x, dyb, w.dtype)
+        else:
+            _, pull_w = jax.vjp(lambda ww: _conv(x, ww, stride), w)
+            dw, = pull_w(dyb)
         return dx, dw
 
     _, pull = jax.vjp(lambda xx, ww: _conv(xx, ww, stride), x, w)
@@ -126,10 +206,12 @@ def conv3x3_s1_im2col(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     u = jnp.concatenate(
         [xp[:, di:di + H, dj:dj + W, :] for di in range(3) for dj in range(3)],
         axis=-1)
+    # NB: no preferred_element_type — under bf16 the MXU still accumulates
+    # f32 internally, but forcing an f32 output made XLA materialize a
+    # 503 MB f32[4,384,1280,64] intermediate (seen in the optimized HLO)
     y = lax.dot_general(u.reshape(B * H * W, 9 * C), w.reshape(9 * C, F),
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-    return y.reshape(B, H, W, F).astype(x.dtype)
+                        (((1,), (0,)), ((), ())))
+    return y.reshape(B, H, W, F)
 
 
 def stem_im2col_available(x_shape, kernel: int, stride: int) -> bool:

@@ -106,6 +106,23 @@ def test_stem_im2col_value_and_dw_match_lax():
     assert v['params']['Conv_0']['kernel'].shape == (3, 3, 3, 6)
 
 
+def test_phase_s2_backward_matches_lax():
+    # phase-decomposed s2 pulls (no lhs/rhs dilation — ops/conv2d.py
+    # _dx_phase_s2/_dw_phase_s2) must match XLA's vjp exactly
+    from epnet_tpu.ops.conv2d import _dx_phase_s2, _dw_phase_s2
+    rng = np.random.RandomState(5)
+    for B, H, W, C, F in [(2, 8, 12, 5, 7), (1, 16, 24, 3, 4)]:
+        x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+        w = jnp.asarray((rng.randn(3, 3, C, F) / 10).astype(np.float32))
+        dy = jnp.asarray(rng.randn(B, H // 2, W // 2, F).astype(np.float32))
+        _, pull = jax.vjp(lambda x, w: _lax_conv(x, w), x, w)
+        dx_ref, dw_ref = pull(dy)
+        np.testing.assert_allclose(np.asarray(_dx_phase_s2(dy, w)),
+                                   np.asarray(dx_ref), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(_dw_phase_s2(x, dy, w.dtype)),
+                                   np.asarray(dw_ref), rtol=1e-5, atol=1e-5)
+
+
 def test_dw_pallas_kernel_interpret():
     from epnet_tpu.ops.conv2d import _dw_pallas
     rng = np.random.RandomState(2)
