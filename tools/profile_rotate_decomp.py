@@ -64,12 +64,15 @@ def main():
         out = model.apply(variables, batch, train=False)
         return jnp.sum(out['rcnn_cls']) + jnp.sum(out['rcnn_reg'])
 
-    def run(make_step, tag):
+    def run(make_step, tag, data):
+        # data passed as a jit ARG — closure-captured device arrays get
+        # baked into the HLO as constants and overflow the remote compile
+        # service's request-size limit at 5-scene stacks (HTTP 413)
         step = jax.jit(make_step)
         for _ in range(WARMUP):
-            np.asarray(step(variables))
+            np.asarray(step(variables, data))
         t0 = time.perf_counter()
-        np.asarray(step(variables))
+        np.asarray(step(variables, data))
         dt = time.perf_counter() - t0
         sps = BATCH * ITERS / dt
         ms = dt / ITERS * 1000
@@ -78,19 +81,19 @@ def main():
 
     seeds = jnp.arange(ITERS, dtype=jnp.float32)
 
+    def make_replay(variables, dev):
+        def body(acc, seed):
+            b = dict(dev)
+            b['pts_input'] = b['pts_input'] + seed * 1e-6
+            return acc + fwd(variables, b), 0.0
+        acc, _ = jax.lax.scan(body, 0.0, seeds)
+        return acc
+
     # --- replay (old protocol) + per-scene ---
     per_scene = []
     for k in range(ROTATE):
-        dev = jax.device_put(batches[k])
-
-        def make_replay(variables, dev=dev):
-            def body(acc, seed):
-                b = dict(dev)
-                b['pts_input'] = b['pts_input'] + seed * 1e-6
-                return acc + fwd(variables, b), 0.0
-            acc, _ = jax.lax.scan(body, 0.0, seeds)
-            return acc
-        per_scene.append(run(make_replay, f'scene{k} replay'))
+        per_scene.append(run(make_replay, f'scene{k} replay',
+                             jax.device_put(batches[k])))
     print(f'scene replay mean: {np.mean(per_scene):.2f} ms '
           f'(min {min(per_scene):.2f}, max {max(per_scene):.2f})', flush=True)
 
@@ -99,40 +102,24 @@ def main():
     same = jax.device_put(jax.tree_util.tree_map(
         lambda x: np.stack([x] * ROTATE, 0), batches[0]))
 
-    def gather_body(stacked, idx_fn):
+    def gather_step(mod, variables, data):
         def body(acc, seed):
-            i = idx_fn(seed)
+            i = jnp.mod(seed.astype(jnp.int32), mod)
             b = jax.tree_util.tree_map(
                 lambda x: jax.lax.dynamic_index_in_dim(
-                    x, i, 0, keepdims=False), stacked)
+                    x, i, 0, keepdims=False), data)
             b['pts_input'] = b['pts_input'] + seed * 1e-6
             return acc + fwd(variables, b), 0.0
-        return body
-
-    def make_gather1(variables):
-        body = gather_body(stacked,
-                           lambda seed: jnp.mod(seed.astype(jnp.int32),
-                                                jnp.int32(1)))
         acc, _ = jax.lax.scan(body, 0.0, seeds)
         return acc
 
-    def make_gathersame(variables):
-        body = gather_body(same,
-                           lambda seed: jnp.mod(seed.astype(jnp.int32),
-                                                ROTATE))
-        acc, _ = jax.lax.scan(body, 0.0, seeds)
-        return acc
-
-    def make_rotate(variables):
-        body = gather_body(stacked,
-                           lambda seed: jnp.mod(seed.astype(jnp.int32),
-                                                ROTATE))
-        acc, _ = jax.lax.scan(body, 0.0, seeds)
-        return acc
-
-    g1 = run(make_gather1, 'gather1 (stacked, idx=0)')
-    gs = run(make_gathersame, 'gathersame (5x scene0, rotating idx)')
-    rot = run(make_rotate, 'rotate (shipped protocol)')
+    import functools
+    g1 = run(functools.partial(gather_step, 1),
+             'gather1 (stacked, idx=0)', stacked)
+    gs = run(functools.partial(gather_step, ROTATE),
+             'gathersame (5x scene0, rotating idx)', same)
+    rot = run(functools.partial(gather_step, ROTATE),
+              'rotate (shipped protocol)', stacked)
 
     rep = per_scene[0]
     print(f'\ndecomposition (ms/step): gather copy = {g1 - rep:+.2f} '
