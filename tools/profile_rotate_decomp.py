@@ -26,6 +26,15 @@ Variants, all through the same fwd path as bench.py (B8, speed mode):
                mean over genuinely-different workloads, not a regression.
 
 Run on the real chip: python tools/profile_rotate_decomp.py
+
+RESULT (2026-08-21, B8 speed mode): replay 49.2-49.6 ms/step across all
+5 scenes (162 scans/s — reproduces the round-3 headline), gather1 49.5
+(the stacked dynamic_index gather is free), gathersame 75.8 (+26.2 ms:
+a loop-VARYING index defeats XLA's hoisting of the loop-invariant image
+stream out of the scan), rotate 75.2 (geometry variation itself is
+free). The whole round-3 162 -> 107 delta was hoisting, not harder
+geometry; the rotated number is the honest per-scan cost since real
+deployment sees a new image every scan.
 """
 import os
 import sys

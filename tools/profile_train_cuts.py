@@ -23,6 +23,14 @@ Cuts (module path substrings, RPN backbone names from models/backbone.py):
   heads        rpn cls/reg heads
 
 Usage: python tools/profile_train_cuts.py [cut ...]  (default: all)
+
+Measured on-chip (2026-08-21, B4). Pre-im2col graph (fwd+bwd 130.2 ms):
+img_all 68.7, img_block0 30.0, img_block01 47.8, deconv 9.4, sa_all
+12.4, fp_all 6.9, rcnn 7.7, b0_cb0 17.0, b0_conv1 (the RGB stem's dw
+alone) 9.8; fusion_all 85.3 (cross-check: cutting every fusion output
+severs the cotangent into the whole backbone). Post-im2col graph
+(fwd+bwd 114.0 ms): img_all 64.5, img_block0 26.2, img_block01 42.2 —
+the image tower remains the dominator and is the round-5 surface.
 """
 import os
 import sys
