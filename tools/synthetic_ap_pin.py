@@ -43,9 +43,16 @@ def main():
     p.add_argument('--points', type=int, default=14000)
     p.add_argument('--speed-mode', action='store_true',
                    help='flagship speed config instead of the parity recipe')
+    p.add_argument('--knobs', type=str, default='',
+                   help='comma subset of {fps,block,queries}: apply only '
+                        'these speed-mode knobs on top of the parity '
+                        'recipe (isolates which approximation costs AP; '
+                        'see the round-4 band in ROADMAP.md)')
     p.add_argument('--keep-data', action='store_true')
     args = p.parse_args()
 
+    tag = ('speed' if args.speed_mode
+           else f'parity+{args.knobs}' if args.knobs else 'parity')
     work = os.path.join(args.workdir, f'seed{args.seed}')
     data_root = os.path.join(work, 'data')
     out_dir = os.path.join(work, 'out')
@@ -66,6 +73,17 @@ def main():
         overrides = ['--set', 'MIXED_PRECISION', 'True',
                      'EXACT_QUERIES', 'False', 'RPN.FPS_GROUPS', '8',
                      'RPN.BLOCK_LOCAL', 'True', 'RCNN.BLOCK_LOCAL', 'True']
+    elif args.knobs:
+        kv = []
+        knobs = set(args.knobs.split(','))
+        assert knobs <= {'fps', 'block', 'queries'}, knobs
+        if 'fps' in knobs:
+            kv += ['RPN.FPS_GROUPS', '8']
+        if 'block' in knobs:
+            kv += ['RPN.BLOCK_LOCAL', 'True', 'RCNN.BLOCK_LOCAL', 'True']
+        if 'queries' in knobs:
+            kv += ['EXACT_QUERIES', 'False']
+        overrides = ['--set', 'MIXED_PRECISION', 'True'] + kv
 
     train_cmd = [sys.executable, os.path.join(REPO, 'tools', 'train.py'),
                  '--cfg_file', cfg, '--data_root', data_root,
@@ -102,7 +120,7 @@ def main():
     print(json.dumps({
         'metric': 'synthetic Car 3D AP R40 (easy/moderate/hard)',
         'seed': args.seed,
-        'config': 'speed' if args.speed_mode else 'parity',
+        'config': tag,
         'epochs': args.epochs,
         'value': [easy, mod, hard],
     }), flush=True)
