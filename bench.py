@@ -60,9 +60,15 @@ assert ITERS % ROTATE == 0, (
 def bench_config():
     if PARITY:
         from epnet_tpu.config import load_config
-        return load_config('cfgs/LI_Fusion_with_attention_use_ce_loss.yaml')
+        from epnet_tpu.ops.pointops import apply_query_policy
+        cfg = load_config('cfgs/LI_Fusion_with_attention_use_ce_loss.yaml')
+        # trace-time module state; without this the yaml's EXACT_QUERIES
+        # pin was silently ignored by the bench (round-5 catch — the
+        # round-4 49.4/17.9 "parity" rows actually traced approx queries)
+        apply_query_policy(cfg)
+        return cfg
     from __graft_entry__ import _full_config
-    return _full_config()
+    return _full_config()  # applies the query policy itself
 
 
 def tag(metric):
