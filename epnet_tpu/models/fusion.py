@@ -151,17 +151,30 @@ class DeconvFusionHead(nn.Module):
                 C, k * k * self.features).astype(dt))
             bias_fused = bias_fused + bias @ wi
 
-        use_fused = (xy is not None and train and BN_STAT_GROUPS == 1
+        # Fused half-res path at train (custom VJP: no full-res map, no
+        # full-res backward scatter) AND at eval since round 5 (running-stat
+        # BN; the dense path's four full-res scale maps + their sum + the
+        # normalized map never reach HBM — VERDICT r4 item 4 on the ~26
+        # ms/B8 per-scan image stream). EPNET_FUSED_HEAD_EVAL=0 reverts
+        # eval to the dense path for A/B.
+        use_fused = (xy is not None and (BN_STAT_GROUPS == 1 or not train)
                      and all(k % 2 == 0 for k in self.kernels)
-                     and os.environ.get('EPNET_FUSED_HEAD', '1') != '0')
+                     and os.environ.get('EPNET_FUSED_HEAD', '1') != '0'
+                     and (train or os.environ.get('EPNET_FUSED_HEAD_EVAL',
+                                                  '1') != '0'))
         if use_fused:
-            from ..ops.deconv_sample import deconv_bn_relu_sample
+            from ..ops.deconv_sample import (deconv_bn_relu_sample,
+                                             deconv_bn_relu_sample_eval)
             xs = tuple(x.astype(dt) for x in imgs)
             return BatchNorm(name='image_fusion_bn')(
-                None, train=True, momentum=bn_momentum,
+                None, train=train, momentum=bn_momentum,
                 fused_fn=lambda sc, bi: deconv_bn_relu_sample(
                     xs, tuple(cws), bias_fused, sc, bi, xy,
                     tuple(self.kernels), 1e-5),
+                fused_eval_fn=lambda sc, bi, mu, va:
+                    deconv_bn_relu_sample_eval(
+                        xs, tuple(cws), bias_fused, sc, bi, mu, va, xy,
+                        tuple(self.kernels), 1e-5),
                 features=self.features)
 
         total = None

@@ -50,13 +50,15 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool, momentum=0.1, fused_fn=None,
-                 features=None):
-        if fused_fn is not None:
+                 features=None, fused_eval_fn=None):
+        if fused_fn is not None or fused_eval_fn is not None:
             # Fused-consumer mode: the caller computes the normalized +
-            # consumed output AND the batch statistics in one custom-VJP op
-            # (ops/deconv_sample.py); this module only owns the variables
-            # and the torch-convention running-stat update, so parameter /
-            # batch_stats paths stay identical to the dense path.
+            # consumed output AND (train) the batch statistics in one
+            # custom-VJP op (ops/deconv_sample.py); this module only owns
+            # the variables and the torch-convention running-stat update,
+            # so parameter / batch_stats paths stay identical to the dense
+            # path. At eval, ``fused_eval_fn(scale, bias, mean, var)``
+            # consumes the RUNNING stats instead (forward only).
             C = features
             ra_mean = self.variable('batch_stats', 'mean',
                                     lambda: jnp.zeros(C, jnp.float32))
@@ -64,7 +66,11 @@ class BatchNorm(nn.Module):
                                    lambda: jnp.ones(C, jnp.float32))
             scale = self.param('scale', nn.initializers.ones, (C,))
             bias = self.param('bias', nn.initializers.zeros, (C,))
-            assert train, 'fused_fn path is train-only'
+            if not train:
+                assert fused_eval_fn is not None, \
+                    'fused_fn path needs fused_eval_fn at eval'
+                return fused_eval_fn(scale, bias, ra_mean.value,
+                                     ra_var.value)
             out, mean, unbiased = fused_fn(scale, bias)
             if not self.is_initializing():
                 m = jnp.asarray(momentum, jnp.float32)
@@ -233,7 +239,11 @@ class Conv2dBlock(nn.Module):
             # MXU contraction (ops/conv2d.py:conv3x3_s1_im2col); param
             # path kept at Conv_0/kernel. At eval the lax conv forward is
             # ~3.7 ms/B8 faster (bench A/B: 104.8 vs 100.0 scans/s) and
-            # there is no weight grad to fix, so eval keeps lax.
+            # there is no weight grad to fix, so eval keeps lax. NB: the
+            # two lowerings agree to 2e-5 in f32 (tests/test_conv2d.py)
+            # but only approximately under bf16 — BN running stats are
+            # collected on the im2col forward while eval uses lax; if eval
+            # metrics ever look off, A/B with EPNET_STEM_IM2COL=0.
             x = _ConvStem(self.features, kernel_init=kaiming_normal(),
                           dtype=self.dtype, name='Conv_0')(x)
         elif (not self.use_bias

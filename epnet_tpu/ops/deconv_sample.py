@@ -43,28 +43,57 @@ import jax
 import jax.numpy as jnp
 
 
+def _perm_cw(cw: jnp.ndarray, k: int, F: int) -> jnp.ndarray:
+    """Permute a folded deconv weight's columns from (ky, kx, f) order to
+    (u2, v2, sy, sx, f) with ky = 2*u2 + sy, kx = 2*v2 + sx.
+
+    Round-5 lesson (tools/profile_head_eval.py decompose, on-chip): the
+    cross-scale accumulation dominated the head — 31.8 of ~39 ms/B8 —
+    because each scale's depth-to-space regroup is a transpose whose minor
+    dimension is the narrow F=32, which TPU lowers as a lane-shuffling
+    copy, and the 4-way add forces all of them to materialize. Reordering
+    the WEIGHT columns instead makes every regroup a transpose that keeps
+    a full (sy, sx, f) = 4F = 128-wide minor dimension intact (a cheap
+    sublane-block move; the k=2 scale needs no transpose at all), so the
+    adds fuse into one pass over the half-res layout."""
+    C = cw.shape[0]
+    m = k // 2
+    w4 = cw.reshape(C, m, 2, m, 2, F)        # (C, u2, sy, v2, sx, F)
+    return w4.transpose(0, 1, 3, 2, 4, 5).reshape(C, k * k * F)
+
+
 def _regroup_to_half(y: jnp.ndarray, k: int, F: int) -> jnp.ndarray:
-    """(B, h, w, k*k*F) depth-to-space output, re-expressed on the half-res
-    grid: returns (B, h*k//2, w*k//2, 4, F) where axis 3 is the full-res
-    2x2 subpixel slot."""
+    """(B, h, w, k*k*F) matmul output with PERMUTED (_perm_cw) columns,
+    re-expressed on the half-res grid: returns (B, h*k//2, w*k//2, 4, F)
+    where axis 3 is the full-res 2x2 subpixel slot (sy, sx). The minor
+    (4F) axis is untouched by the transpose — see _perm_cw."""
     B, h, w, _ = y.shape
     if k == 2:
         return y.reshape(B, h, w, 4, F)
     m = k // 2
-    y = y.reshape(B, h, w, m, 2, m, 2, F)
-    # target index: [b, (h,a), (w,c), (i2,j2), f] with slot rows 2a+i2
-    y = y.transpose(0, 1, 3, 2, 5, 4, 6, 7)  # (B, h, m, w, m, 2, 2, F)
+    y = y.reshape(B, h, w, m, m, 4 * F)      # (B, Y, X, u2, v2, syxf)
+    y = y.transpose(0, 1, 3, 2, 4, 5)        # minor dim stays (4F)
     return y.reshape(B, h * m, w * m, 4, F)
 
 
+def _unperm_cw(cwp: jnp.ndarray, k: int, F: int) -> jnp.ndarray:
+    """Inverse of _perm_cw: (u2, v2, sy, sx, f) columns -> (ky, kx, f)."""
+    C = cwp.shape[0]
+    m = k // 2
+    w4 = cwp.reshape(C, m, m, 2, 2, F)       # (C, u2, v2, sy, sx, F)
+    return w4.transpose(0, 1, 3, 2, 4, 5).reshape(C, k * k * F)
+
+
 def _half_to_scale(dph: jnp.ndarray, k: int, h: int, w: int, F: int) -> jnp.ndarray:
-    """Inverse of _regroup_to_half: (B, H2, W2, 4, F) -> (B, h, w, k*k*F)."""
+    """Inverse of _regroup_to_half: (B, H2, W2, 4, F) -> (B, h, w, k*k*F)
+    in the PERMUTED (u2, v2, sy, sx, f) column order — lane-preserving like
+    the forward regroup (see _perm_cw)."""
     B = dph.shape[0]
     if k == 2:
         return dph.reshape(B, h, w, 4 * F)
     m = k // 2
-    d = dph.reshape(B, h, m, w, m, 2, 2, F)
-    d = d.transpose(0, 1, 3, 2, 5, 4, 6, 7)  # (B, h, w, m, 2, m, 2, F)
+    d = dph.reshape(B, h, m, w, m, 4 * F)    # (B, Y, u2, X, v2, syxf)
+    d = d.transpose(0, 1, 3, 2, 4, 5)        # minor dim stays (4F)
     return d.reshape(B, h, w, k * k * F)
 
 
@@ -116,10 +145,14 @@ def _gather_rows(tbl: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
 
 
 def _build_ph(xs, cws, bias_fused, ks, F):
-    """Half-res pre-BN map: (B, H2, W2, 4, F), in the xs/cws dtype."""
+    """Half-res pre-BN map: (B, H2, W2, 4, F), in the xs/cws dtype.
+
+    Weights are column-permuted per scale (_perm_cw) so every regroup
+    keeps the 4F minor dimension intact and the cross-scale adds fuse
+    (31.8 -> ~3 ms/B8 on-chip; tools/profile_head_eval.py decompose)."""
     ph = None
     for x, cw, k in zip(xs, cws, ks):
-        y = x @ cw  # (B, h, w, k*k*F)
+        y = x @ _perm_cw(cw, k, F)  # (B, h, w, k*k*F), permuted columns
         r = _regroup_to_half(y, k, F)
         ph = r if ph is None else ph + r
     return ph + bias_fused.astype(ph.dtype)
@@ -248,15 +281,18 @@ def _bwd(ks, eps, res, cts):
     dph = (dph + A + Bt * xhat_half).astype(in_dtype)
 
     # --- per-scale unfold + matmuls ------------------------------------
+    # dy comes out of _half_to_scale in the PERMUTED column order, so dx
+    # pulls against the permuted weight and the weight grad lands permuted
+    # and is unpermuted before returning (callers hold (ky, kx, f) order).
     dxs, dcws = [], []
     dbias_fused = jnp.sum(dph.astype(jnp.float32), axis=(0, 1, 2, 3))
     for x, cw, k in zip(xs, cws, ks):
         h, w = x.shape[1], x.shape[2]
         dy = _half_to_scale(dph, k, h, w, F)          # (B, h, w, k*k*F)
-        dxs.append((dy @ cw.T).astype(x.dtype))
+        dxs.append((dy @ _perm_cw(cw, k, F).T).astype(x.dtype))
         dcw = jnp.einsum('bhwc,bhwK->cK', x.astype(jnp.float32),
                          dy.astype(jnp.float32))
-        dcws.append(dcw.astype(cw.dtype))
+        dcws.append(_unperm_cw(dcw, k, F).astype(cw.dtype))
 
     # no gradient to xy (loader constants) — return explicit zeros
     dxy = jnp.zeros((rows.shape[0], rows.shape[1], 2), jnp.float32)
@@ -266,3 +302,87 @@ def _bwd(ks, eps, res, cts):
 
 
 deconv_bn_relu_sample.defvjp(_fwd, _bwd)
+
+
+def deconv_bn_relu_sample_eval(xs: Tuple[jnp.ndarray, ...],
+                               cws: Tuple[jnp.ndarray, ...],
+                               bias_fused: jnp.ndarray,
+                               scale: jnp.ndarray,
+                               bias: jnp.ndarray,
+                               mean: jnp.ndarray,
+                               var: jnp.ndarray,
+                               xy_norm: jnp.ndarray,
+                               ks: Tuple[int, ...],
+                               eps: float) -> jnp.ndarray:
+    """EVAL-mode fused head: running-stat BN instead of batch stats, no
+    backward. Same per-pixel arithmetic as the dense path (affine + ReLU
+    commute with the gather), but the four full-resolution scale maps,
+    their sum, and the normalized map never reach HBM — only the half-res
+    accumulator ``ph`` and the N sampled corner rows do. Round-5 attack on
+    the ~26 ms/B8 per-scan image stream the rotated protocol exposed
+    (BASELINE.md "Protocol correction"; VERDICT r4 item 4).
+
+    :param mean, var: the BatchNorm RUNNING statistics (f32, (F,)).
+    Other params as in deconv_bn_relu_sample. Returns (B, N, F).
+    """
+    F = scale.shape[0]
+    k0 = ks[0]
+    H = xs[0].shape[1] * k0
+    W = xs[0].shape[2] * k0
+    B = xs[0].shape[0]
+    H2, W2 = H // 2, W // 2
+
+    ph = _build_ph(xs, cws, bias_fused, ks, F)      # (B, H2, W2, 4, F)
+    in_dtype = ph.dtype
+
+    # --- one PATCH gather per point instead of 4 row gathers -----------
+    # TPU row gathers are issue-bound (~10 ns/row regardless of locality,
+    # tools/profile_gather_locality.py), so the first cut of this op — 4
+    # separate corner-row gathers — was 4x the issues of the dense path's
+    # (2,2,C) patch trick and measured SLOWER end-to-end. A point's 2x2
+    # full-res bilinear patch always lies inside the 2x2 half-res CELL
+    # window anchored at (y0>>1, x0>>1): (y0+dy)>>1 ∈ {y0>>1, y0>>1 + 1}
+    # with the +1 only when y0 is odd, same in x. So ONE (2, 2, 4F) patch
+    # gather per point fetches all four corners (16F values, 4x overfetch
+    # on a bandwidth-cold op), and per-corner (window-row, window-col,
+    # slot) one-hots place the bilinear weights.
+    x = (xy_norm[..., 0] + 1.0) * 0.5 * (W - 1)
+    y = (xy_norm[..., 1] + 1.0) * 0.5 * (H - 1)
+    x0 = jnp.clip(jnp.floor(x), 0, max(W - 2, 0)).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y), 0, max(H - 2, 0)).astype(jnp.int32)
+    cys = jnp.clip(y0 >> 1, 0, max(H2 - 2, 0))      # window anchor
+    cxs = jnp.clip(x0 >> 1, 0, max(W2 - 2, 0))
+
+    wt = jnp.zeros((B, xy_norm.shape[1], 2, 2, 4), jnp.float32)
+    for dy in range(2):
+        for dx in range(2):
+            py = y0 + dy
+            px = x0 + dx
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(y - py))
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(x - px))
+            ry = (py >> 1) - cys                    # {0, 1}
+            rx = (px >> 1) - cxs
+            slot = (py & 1) * 2 + (px & 1)
+            oh = (jax.nn.one_hot(ry, 2)[..., :, None, None]
+                  * jax.nn.one_hot(rx, 2)[..., None, :, None]
+                  * jax.nn.one_hot(slot, 4)[..., None, None, :])
+            wt = wt + (wy * wx)[..., None, None, None] * oh
+
+    ph4 = ph.reshape(B, H2, W2, 4 * F)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3, 4),
+        collapsed_slice_dims=(),
+        start_index_map=(1, 2),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    patch = jax.lax.gather(
+        ph4, jnp.stack([cys, cxs], axis=-1), dnums,
+        slice_sizes=(1, 2, 2, 4 * F),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    patch = patch.reshape(B, -1, 2, 2, 4, F)        # (B, N, ry, rx, slot, F)
+
+    w_fold = (jax.lax.rsqrt(var + eps) * scale).astype(in_dtype)
+    post = (patch - mean.astype(in_dtype)) * w_fold + bias.astype(in_dtype)
+    z = jnp.maximum(post, 0)
+    return jnp.einsum('bnxys,bnxysf->bnf', wt.astype(in_dtype), z)

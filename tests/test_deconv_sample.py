@@ -162,6 +162,28 @@ class TestModuleIntegration:
         finally:
             os.environ.pop('EPNET_FUSED_HEAD', None)
 
+    def test_fused_eval_matches_dense_eval(self):
+        """Round-5 eval path (deconv_bn_relu_sample_eval: running-stat BN,
+        no full-res map) vs the dense eval path, nontrivial running stats."""
+        os, head, variables, imgs, xy = self._setup()
+        # push non-default running stats through one train-mode update
+        _, _, upd, _ = self._run(os, head, variables, imgs, xy, fused=False)
+        stats = upd['batch_stats']
+
+        def run_eval(fused_eval):
+            os.environ['EPNET_FUSED_HEAD_EVAL'] = '1' if fused_eval else '0'
+            try:
+                return head.apply(
+                    {'params': variables['params'], 'batch_stats': stats},
+                    imgs, train=False, xy=xy)
+            finally:
+                os.environ.pop('EPNET_FUSED_HEAD_EVAL', None)
+
+        o_fused = run_eval(True)
+        o_dense = run_eval(False)
+        np.testing.assert_allclose(np.asarray(o_fused), np.asarray(o_dense),
+                                   rtol=1e-4, atol=1e-4)
+
     def test_fused_matches_dense_path(self):
         os, head, variables, imgs, xy = self._setup()
         v1, o1, u1, g1 = self._run(os, head, variables, imgs, xy, fused=True)
