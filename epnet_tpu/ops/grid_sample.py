@@ -84,8 +84,8 @@ def _gs_fwd(feature_map, xy_norm):
             (xy_norm, feature_map[0:0]))
 
 
-def _gs_bwd(res, g):
-    xy_norm, proto = res
+def _gs_bwd_flat(xy_norm, proto, g):
+    """One flat row scatter-add of the 4N corner updates (pre-round-5)."""
     B = xy_norm.shape[0]
     _, H, W, C = proto.shape
     fdt = proto.dtype
@@ -108,6 +108,76 @@ def _gs_bwd(res, g):
     df = jax.vmap(lambda fl, v: jnp.zeros((H * W, C), jnp.float32)
                   .at[fl].add(v))(flat, val)
     return df.reshape(B, H, W, C).astype(fdt), jnp.zeros_like(xy_norm)
+
+
+def _gs_bwd_slot(xy_norm, proto, g):
+    """Slot-factorized dual-packed scatter (round 5).
+
+    Same factorization as ops/deconv_sample._bwd: each point's clipped 2x2
+    corner patch hits each half-res subpixel slot (y%2, x%2) EXACTLY once
+    (corner parities (y0+dy)%2 enumerate {0,1}^2), so the 4N-update flat
+    scatter splits into 4 N-update scatters over (H/2*W/2)-row per-slot
+    tables, packed two slots per (R, 2C) table — the layout
+    tools/profile_slot_scatter.py measured at 4.2 ms vs 17.6 for naive
+    slot scatters at the full-res LI-Fusion shape. This is the backward of
+    every per-stage LI-fusion feature_gather (the deconv head's final
+    sample has its own fused op).
+    """
+    B, N = xy_norm.shape[0], xy_norm.shape[1]
+    _, H, W, C = proto.shape
+    fdt = proto.dtype
+    H2, W2 = H // 2, W // 2
+    x = (xy_norm[..., 0] + 1.0) * 0.5 * (W - 1)
+    y = (xy_norm[..., 1] + 1.0) * 0.5 * (H - 1)
+    xs = jnp.clip(jnp.floor(x), 0, max(W - 2, 0)).astype(jnp.int32)
+    ys = jnp.clip(jnp.floor(y), 0, max(H - 2, 0)).astype(jnp.int32)
+    py0, px0 = ys & 1, xs & 1
+
+    gf = g.astype(jnp.float32)
+    # per-corner values/cells, corner index c = dy*2 + dx
+    vals, cells = [], []
+    for dy in range(2):
+        for dx in range(2):
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(y - (ys + dy)))
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(x - (xs + dx)))
+            vals.append((wy * wx)[..., None] * gf)          # (B, N, C)
+            cells.append(((ys + dy) >> 1) * W2 + ((xs + dx) >> 1))
+    v_c = jnp.stack(vals, axis=2)                           # (B, N, 4, C)
+    cell = jnp.stack(cells, axis=2)                         # (B, N, 4)
+
+    def slot_updates(s):
+        sy, sx = s >> 1, s & 1
+        c = (sy ^ py0) * 2 + (sx ^ px0)                     # the one corner
+        sel = jax.nn.one_hot(c, 4, dtype=v_c.dtype)         # (B, N, 4)
+        val = jnp.einsum('bnc,bncf->bnf', sel, v_c)
+        cel = jnp.sum(sel.astype(jnp.int32) * cell, axis=-1)
+        return val, cel
+
+    tables = []
+    for s0 in (0, 2):
+        vA, cA = slot_updates(s0)
+        vB, cB = slot_updates(s0 + 1)
+        z = jnp.zeros_like(vA)
+        v = jnp.concatenate([jnp.concatenate([vA, z], -1),
+                             jnp.concatenate([z, vB], -1)], 1)  # (B,2N,2C)
+        cc = jnp.concatenate([cA, cB], 1)
+        tbl = jax.vmap(lambda ce, va: jnp.zeros(
+            (H2 * W2, 2 * C), jnp.float32).at[ce].add(va))(cc, v)
+        tables.extend([tbl[..., :C], tbl[..., C:]])
+    # tables[s] is the (B, H2*W2, C) grad plane of slot s = (sy, sx)
+    df = jnp.stack(tables, axis=2).reshape(B, H2, W2, 2, 2, C)
+    df = df.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, C)
+    return df.astype(fdt), jnp.zeros_like(xy_norm)
+
+
+def _gs_bwd(res, g):
+    import os
+    xy_norm, proto = res
+    _, H, W, _ = proto.shape
+    if (H >= 2 and W >= 2 and H % 2 == 0 and W % 2 == 0
+            and os.environ.get('EPNET_GS_SLOT_BWD', '1') != '0'):
+        return _gs_bwd_slot(xy_norm, proto, g)
+    return _gs_bwd_flat(xy_norm, proto, g)
 
 
 grid_sample_points.defvjp(_gs_fwd, _gs_bwd)

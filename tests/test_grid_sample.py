@@ -85,3 +85,20 @@ def test_custom_vjp_matches_autodiff_oracle():
     np.testing.assert_allclose(np.asarray(jax.grad(loss)(f)),
                                np.asarray(jax.grad(loss_ref)(f)),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_slot_bwd_matches_flat_bwd():
+    """Round-5 slot-factorized dual-packed scatter backward vs the flat
+    row-scatter formulation — exact same gradient."""
+    import numpy as np
+
+    from epnet_tpu.ops.grid_sample import _gs_bwd_flat, _gs_bwd_slot
+    rng = np.random.RandomState(3)
+    B, H, W, C, N = 2, 12, 20, 5, 37
+    fm = jnp.asarray(rng.randn(0, H, W, C).astype(np.float32))  # proto
+    xy = jnp.asarray(rng.uniform(-1.2, 1.2, (B, N, 2)).astype(np.float32))
+    g = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    df_a, _ = _gs_bwd_flat(xy, fm, g)
+    df_b, _ = _gs_bwd_slot(xy, fm, g)
+    np.testing.assert_allclose(np.asarray(df_a), np.asarray(df_b),
+                               rtol=1e-5, atol=1e-5)
