@@ -47,6 +47,11 @@ class PointBackbone(nn.Module):
         import os
         img_block_cls = ImageBlock
         if os.environ.get('EPNET_IMG_REMAT', '0') == '1':
+            # static_argnums counts flax's module-offset convention:
+            # argnum 2 == `train` in ImageBlock.__call__(self, x, train,
+            # bn_momentum). The call below passes train POSITIONALLY to
+            # match; if ImageBlock's signature ever gains a parameter
+            # before `train`, update this argnum with it.
             img_block_cls = nn.remat(ImageBlock, static_argnums=(2,))
         img_dt = None if os.environ.get('EPNET_IMG_F32', '0') == '1' else dt
 

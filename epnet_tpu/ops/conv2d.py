@@ -144,10 +144,42 @@ def _dw_phase_s2(x, dy, wshape):
     return jnp.stack(slots, axis=0).reshape(3, 3, C, F).astype(wshape)
 
 
+def _dw_shift_s1(x, dy, wdtype):
+    """s1 SAME weight grad as 9 shifted (B*H*W, C) x (B*H*W, F) MXU dots:
+    dw[d, e] = sum_{i,j} xpad[i+d, j+e] dy[i, j] with xpad = pad(x, 1).
+    Round-5 candidate (VERDICT r4 item 2): extend the proven im2col
+    patches-matmul weight-grad treatment (RGB stem) to the C=64..512
+    stride-1 tower convs WITHOUT materializing the 9x patches tensor.
+    Env-gated EPNET_S1_SHIFT_DW=1; e2e A/B only (isolated wins lie)."""
+    B, H, W, C = x.shape
+    F = dy.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    dyf = dy.reshape(B * H * W, F)
+    slots = []
+    for d in range(3):
+        for e in range(3):
+            xs = lax.slice(xp, (0, d, e, 0), (B, d + H, e + W, C))
+            slots.append(lax.dot_general(
+                xs.reshape(B * H * W, C), dyf,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+    return jnp.stack(slots, axis=0).reshape(3, 3, C, F).astype(wdtype)
+
+
 def _bwd(stride, res, dy):
     x, w = res
     B, H, W, C = x.shape
     F = w.shape[-1]
+
+    if stride == 1:
+        # s1 custom path exists only for the EPNET_S1_SHIFT_DW experiment
+        # (conv3x3_same_available gates it): dx through XLA's own vjp
+        # UNbarriered (the barrier hurts every s1 conv — module docstring),
+        # dw through the 9-shift dots.
+        _, pull_x = jax.vjp(lambda xx: _conv(xx, w, stride), x)
+        dx, = pull_x(dy)
+        dw = _dw_shift_s1(x, dy, w.dtype)
+        return dx, dw
 
     # The barrier detaches the cotangent from its producer fusion; without
     # it XLA compiles the fwd+bwd cluster ~2x slower (module docstring).
@@ -162,6 +194,10 @@ def _bwd(stride, res, dy):
     if stride == 2:
         import os
         mode = os.environ.get('EPNET_S2_PHASE_BWD', '')
+        # The phase decompositions assume even H/W (SAME/s2 with pad_lo=0);
+        # odd spatial dims pad lo=1 and the phase algebra silently shifts.
+        if H % 2 or W % 2:
+            mode = ''
         if 'dx' in mode or mode == '1':
             dx = _dx_phase_s2(dyb, w)
         else:
@@ -228,8 +264,14 @@ def conv3x3_same_available(x_shape, kernel: int, stride: int) -> bool:
     every s1 conv (11.0 -> 20.9 ms; blk0's 3->64 conv 3.6 -> 12.0!).
 
     EPNET_S2_BARRIER=0 routes even the s2 convs back to plain lax autodiff
-    (end-to-end A/B of the barrier fix inside the full train step)."""
+    (end-to-end A/B of the barrier fix inside the full train step).
+    EPNET_S1_SHIFT_DW=1 additionally routes the stride-1 tower convs
+    (C_in > 8; the stem keeps its im2col path) through the 9-shift-dot
+    weight grad (_dw_shift_s1) with unbarriered XLA dx."""
     import os
+    if (stride == 1 and kernel == 3 and x_shape[-1] > 8
+            and os.environ.get('EPNET_S1_SHIFT_DW', '0') == '1'):
+        return True
     if os.environ.get('EPNET_S2_BARRIER', '1') == '0':
         return False
     return (kernel == 3 and stride == 2
