@@ -273,10 +273,13 @@ class Config:
     # TPU extension: force exact (True) or approx_max_k/approx_min_k (False)
     # neighbour queries regardless of backend; None keeps the per-backend
     # default (exact off-TPU, approx on TPU). The parity recipe pins True.
-    # Applied by the train/eval CLIs and __graft_entry__ via
+    # Third level 'residual' (round 5): keep the block-local grouped SA/FP
+    # paths but run every residual query op exact — the blanket approx
+    # policy and block-local's Morton sort COLLAPSE together (AP campaign,
+    # ROADMAP.md). Applied by the train/eval CLIs and __graft_entry__ via
     # ops.pointops.apply_query_policy(cfg) BEFORE tracing (it is module
     # state baked in at trace time, not a traced value).
-    EXACT_QUERIES: Optional[bool] = None
+    EXACT_QUERIES: Optional[bool] = None  # True | False | 'residual' | None
     LI_FUSION: LIFusionConfig = field(default_factory=LIFusionConfig)
     RPN: RPNConfig = field(default_factory=RPNConfig)
     RCNN: RCNNConfig = field(default_factory=RCNNConfig)
@@ -347,6 +350,11 @@ def _merge(node, updates: dict):
             changes[k] = _merge(old, v)
         else:
             v = _tup(v)
+            if k == 'EXACT_QUERIES' and v == 'residual':
+                # tri-state key: True / False / 'residual' (block-local
+                # paths on, residual ops exact — ops/pointops.py)
+                changes[k] = v
+                continue
             if old is not None and v is not None:
                 # strict-ish type check with numeric promotion
                 if isinstance(old, bool) != isinstance(v, bool):

@@ -20,7 +20,7 @@ from ..ops.block_local import (block_local_available, block_local_fp_available,
                                block_local_three_interp, bucket_ball_query,
                                to_window_relative, window_starts)
 from ..ops.pointops import (
-    _resolve_exact,
+    block_local_allowed,
     ball_query,
     ball_query_multi,
     ball_query_nested,
@@ -44,7 +44,7 @@ def sa_uses_block_local(block_local, npoint, radii, nsamples, n,
         return False
     radii_l, ns_l = list(radii), list(nsamples)
     return (radii_l == sorted(radii_l) and ns_l == sorted(ns_l)
-            and not _resolve_exact(None)
+            and block_local_allowed()
             and block_local_available(n, npoint, window, block_c))
 
 
@@ -117,7 +117,7 @@ class SAModuleMSG(nn.Module):
         # table (ops/sa_fused.py fused_point_mlp_max_win)
         use_win = (not use_bl and self.block_local and self.npoint is not None
                    and len(self.mlps) == 1 and len(self.mlps[0]) == 3
-                   and not _resolve_exact(None)
+                   and block_local_allowed()
                    and xyz.shape[1] % self.nsamples[0] == 0
                    and fused_sa_win_available(
                        xyz.shape[1], self.npoint, self.nsamples[0],
@@ -210,7 +210,7 @@ class SAModuleMSG(nn.Module):
                     radii, ns, xyz, gfeats, fps_idx, new_xyz,
                     window=self.block_window, block_c=self.block_c)
             elif (len(radii) > 1 and radii == sorted(radii) and ns == sorted(ns)
-                    and not _resolve_exact(None)):
+                    and block_local_allowed()):
                 nest_idx, nested_cnts = ball_query_nested(radii, ns, xyz, new_xyz)
                 if pack:
                     g_full = group_points(table, nest_idx)
@@ -220,7 +220,7 @@ class SAModuleMSG(nn.Module):
                                if gfeats is not None else None)
             elif (self.block_local and len(radii) == 1
                     and xyz.shape[1] % ns[0] == 0
-                    and not _resolve_exact(None)):
+                    and block_local_allowed()):
                 # small spatially-ordered table (deeper RCNN tower stage):
                 # sort-free bucket select beats approx_max_k's aggregation
                 # at narrow widths
@@ -339,7 +339,7 @@ class FPModule(nn.Module):
     def __call__(self, unknown, known, unknown_feats, known_feats,
                  train: bool = False, bn_momentum=0.1, known_idx=None):
         use_bl = (self.block_local and known is not None
-                  and known_idx is not None and not _resolve_exact(None)
+                  and known_idx is not None and block_local_allowed()
                   and block_local_fp_available(unknown.shape[1],
                                                known.shape[1],
                                                self.ublock, self.window))

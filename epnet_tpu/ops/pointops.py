@@ -32,7 +32,27 @@ from jax import lax
 # TPU). Set True/False to force, e.g. for the accuracy ablation in
 # tools/verify_tpu_ops.py. Jitted callers must build fresh closures after
 # flipping it (module state is baked in at trace time).
+#
+# Round-5 third level: 'residual' — the block-local grouped SA/FP paths
+# (the deliberately TPU-native approximation, ops/block_local.py) stay
+# enabled, but every RESIDUAL query op (non-qualifying SA stages, three_nn
+# on unsorted levels, roipool3d first-k) runs EXACT. Motivation: the AP
+# campaign found block-local + the blanket approx policy COLLAPSE together
+# (paired seed 0: moderate 16.3 parity vs 0.9) while each alone is
+# mild/neutral — approx_max_k's index-binned selection loses recall
+# exactly when the loader Morton-sorts the cloud for block-local
+# (neighbours concentrate into few bins), so the two knobs must not be
+# combined blindly.
 EXACT_QUERIES = None
+
+
+def block_local_allowed() -> bool:
+    """Whether the query policy permits the block-local grouped paths
+    (models/pointnet2.py gates). 'residual' keeps them while forcing the
+    residual op surface exact."""
+    if EXACT_QUERIES == 'residual':
+        return True
+    return not _resolve_exact(None)
 
 
 def check_input(name: str, x, rank: int = None, last: int = None,
@@ -55,6 +75,8 @@ def check_input(name: str, x, rank: int = None, last: int = None,
 def _resolve_exact(exact):
     if exact is not None:
         return exact
+    if EXACT_QUERIES == 'residual':
+        return True  # residual ops exact; block-local gates ask separately
     if EXACT_QUERIES is not None:
         return EXACT_QUERIES
     return jax.default_backend() != 'tpu'
@@ -69,8 +91,9 @@ def apply_query_policy(cfg) -> None:
     reference-exact neighbour semantics even on TPU.
     """
     global EXACT_QUERIES
-    if getattr(cfg, 'EXACT_QUERIES', None) is not None:
-        EXACT_QUERIES = bool(cfg.EXACT_QUERIES)
+    v = getattr(cfg, 'EXACT_QUERIES', None)
+    if v is not None:
+        EXACT_QUERIES = 'residual' if v == 'residual' else bool(v)
 
 
 # ---------------------------------------------------------------------------

@@ -76,13 +76,17 @@ def main():
     elif args.knobs:
         kv = []
         knobs = set(args.knobs.split(','))
-        assert knobs <= {'fps', 'block', 'queries'}, knobs
+        assert knobs <= {'fps', 'block', 'queries', 'residual'}, knobs
         if 'fps' in knobs:
             kv += ['RPN.FPS_GROUPS', '8']
         if 'block' in knobs:
             kv += ['RPN.BLOCK_LOCAL', 'True', 'RCNN.BLOCK_LOCAL', 'True']
         if 'queries' in knobs:
             kv += ['EXACT_QUERIES', 'False']
+        if 'residual' in knobs:
+            # tri-state policy: block-local paths on, residual ops exact
+            # (the round-5 fix for the block x approx collapse)
+            kv += ['EXACT_QUERIES', 'residual']
         overrides = ['--set', 'MIXED_PRECISION', 'True'] + kv
 
     train_cmd = [sys.executable, os.path.join(REPO, 'tools', 'train.py'),
