@@ -42,11 +42,36 @@ class KittiDataset:
         return np.fromfile(path, dtype=np.float32).reshape(-1, 4)
 
     def get_image_rgb_with_normal(self, idx: int) -> np.ndarray:
-        """(384, 1280, 3) float32, ImageNet-normalized, zero-padded."""
+        """(384, 1280, 3) float32, ImageNet-normalized, zero-padded.
+
+        PNG inflate dominates the host loader's per-sample cost (~31 of
+        ~68 ms, tools/profile_loader_breakdown.py). ``EPNET_IMG_CACHE=dir``
+        caches the decoded uint8 pixels as .npy after the first epoch
+        (~1.5 MB/image; the KITTI train split is ~11 GB decoded) so
+        steady-state epochs pay one mmap-read + the cheap normalize
+        instead of the inflate. Normalization stays at f32 host-side to
+        keep the model input contract unchanged."""
+        import os as _os
+
         from PIL import Image
 
         path = os.path.join(self.image_dir, '%06d.png' % idx)
-        im = np.asarray(Image.open(path).convert('RGB'), np.float32) / 255.0
+        cache_root = _os.environ.get('EPNET_IMG_CACHE', '')
+        raw = None
+        if cache_root:
+            cpath = os.path.join(cache_root, '%06d.npy' % idx)
+            if os.path.exists(cpath):
+                raw = np.load(cpath)
+        if raw is None:
+            raw = np.asarray(Image.open(path).convert('RGB'), np.uint8)
+            if cache_root:
+                os.makedirs(cache_root, exist_ok=True)
+                tmp = cpath + '.tmp.%d' % _os.getpid()
+                with open(tmp, 'wb') as f:
+                    np.save(f, raw)  # explicit handle: np.save would
+                    # otherwise append .npy to the tmp name
+                os.replace(tmp, cpath)  # atomic for concurrent workers
+        im = raw.astype(np.float32) / 255.0
         im = (im - IMAGENET_MEAN) / IMAGENET_STD
         out = np.zeros((PAD_H, PAD_W, 3), np.float32)
         out[:im.shape[0], :im.shape[1]] = im[:PAD_H, :PAD_W]
