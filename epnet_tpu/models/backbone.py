@@ -105,8 +105,12 @@ class PointBackbone(nn.Module):
         # both levels are Morton-sorted, the stage takes the windowed
         # block-local interpolation (ops/block_local.py)
         n_fp = len(cfg.RPN.FP_MLPS)
+        # EPNET_FP_BLOCK=0: bisection knob — keep SA block-local but route
+        # the FP decoder through the dense three_nn interpolation
+        fp_block = (cfg.RPN.BLOCK_LOCAL
+                    and os.environ.get('EPNET_FP_BLOCK', '1') != '0')
         fp_mods = [FPModule(mlp=cfg.RPN.FP_MLPS[k], bn=cfg.RPN.USE_BN, dtype=dt,
-                            block_local=cfg.RPN.BLOCK_LOCAL, name=f'fp{k}')
+                            block_local=fp_block, name=f'fp{k}')
                    for k in range(n_fp)]
         for i in range(-1, -(n_fp + 1), -1):
             l_feats[i - 1] = fp_mods[i](

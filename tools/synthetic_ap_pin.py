@@ -76,11 +76,16 @@ def main():
     elif args.knobs:
         kv = []
         knobs = set(args.knobs.split(','))
-        assert knobs <= {'fps', 'block', 'queries', 'residual'}, knobs
+        assert knobs <= {'fps', 'block', 'blockrpn', 'blockrcnn', 'queries',
+                         'residual'}, knobs
         if 'fps' in knobs:
             kv += ['RPN.FPS_GROUPS', '8']
         if 'block' in knobs:
             kv += ['RPN.BLOCK_LOCAL', 'True', 'RCNN.BLOCK_LOCAL', 'True']
+        if 'blockrpn' in knobs:   # round-5 bisection: RPN side only
+            kv += ['RPN.BLOCK_LOCAL', 'True']
+        if 'blockrcnn' in knobs:  # RCNN windowed only (needs RPN sort — no-op
+            kv += ['RCNN.BLOCK_LOCAL', 'True']  # without blockrpn; documented)
         if 'queries' in knobs:
             kv += ['EXACT_QUERIES', 'False']
         if 'residual' in knobs:
