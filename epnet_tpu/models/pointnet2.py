@@ -20,6 +20,7 @@ from ..ops.block_local import (block_local_available, block_local_fp_available,
                                block_local_three_interp, bucket_ball_query,
                                to_window_relative, window_starts)
 from ..ops.pointops import (
+    approx_allowed,
     block_local_allowed,
     ball_query,
     ball_query_multi,
@@ -210,7 +211,7 @@ class SAModuleMSG(nn.Module):
                     radii, ns, xyz, gfeats, fps_idx, new_xyz,
                     window=self.block_window, block_c=self.block_c)
             elif (len(radii) > 1 and radii == sorted(radii) and ns == sorted(ns)
-                    and block_local_allowed()):
+                    and approx_allowed('ball')):
                 nest_idx, nested_cnts = ball_query_nested(radii, ns, xyz, new_xyz)
                 if pack:
                     g_full = group_points(table, nest_idx)
@@ -220,7 +221,7 @@ class SAModuleMSG(nn.Module):
                                if gfeats is not None else None)
             elif (self.block_local and len(radii) == 1
                     and xyz.shape[1] % ns[0] == 0
-                    and block_local_allowed()):
+                    and block_local_allowed() and approx_allowed('ball')):
                 # small spatially-ordered table (deeper RCNN tower stage):
                 # sort-free bucket select beats approx_max_k's aggregation
                 # at narrow widths

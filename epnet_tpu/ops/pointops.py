@@ -55,6 +55,14 @@ def block_local_allowed() -> bool:
     return not _resolve_exact(None)
 
 
+def approx_allowed(op: str) -> bool:
+    """Whether the policy (incl. the per-op EPNET_EXACT_OPS override)
+    permits the approximate path for this op family — used by model-side
+    dispatches that pick an approx ALGORITHM (e.g. the nested nearest-first
+    multi-scale query) rather than calling the op with exact=None."""
+    return not _resolve_exact(None, op=op)
+
+
 def check_input(name: str, x, rank: int = None, last: int = None,
                 floating: bool = None, integer: bool = None):
     """Trace-time input validation on the public op surface — the TPU
@@ -72,9 +80,21 @@ def check_input(name: str, x, rank: int = None, last: int = None,
         raise ValueError(f'{name}: expected an integer dtype, got {x.dtype}')
 
 
-def _resolve_exact(exact):
+def _resolve_exact(exact, op: str = None):
+    """Per-call override > per-OP env override > global policy > backend.
+
+    ``EPNET_EXACT_OPS`` (round-5 decomposition knob): comma subset of
+    {ball, three_nn, roipool} forcing those op families exact while the
+    global policy stays approx — used to attribute BOTH the 10x exact-mode
+    throughput cost and the approx-mode AP cost to individual ops
+    (tools/ap_pin_campaign.py / bench A/Bs)."""
     if exact is not None:
         return exact
+    if op is not None:
+        import os
+        ops = os.environ.get('EPNET_EXACT_OPS', '')
+        if ops and op in ops.split(','):
+            return True
     if EXACT_QUERIES == 'residual':
         return True  # residual ops exact; block-local gates ask separately
     if EXACT_QUERIES is not None:
@@ -290,7 +310,7 @@ def ball_query(
     M = new_xyz.shape[1]
     xyz = lax.stop_gradient(xyz)
     new_xyz = lax.stop_gradient(new_xyz)
-    exact = _resolve_exact(exact)
+    exact = _resolve_exact(exact, op='ball')
 
     if not exact:
         inv = jnp.float32(1.0 / radius)
@@ -361,7 +381,7 @@ def ball_query_multi(radii, nsamples, xyz, new_xyz, exact: bool = None):
     field. Measured 25.7 -> ~7 ms at the (8, 4096, 16384) 2-scale RPN sa0
     shape on v5e (tools/profile_ballq_variants.py).
     """
-    exact = _resolve_exact(exact)
+    exact = _resolve_exact(exact, op='ball')
     if exact:
         return [ball_query(r, s, xyz, new_xyz, exact=True)
                 for r, s in zip(radii, nsamples)]
@@ -497,7 +517,7 @@ def three_nn(
     M = known.shape[1]
     unknown = lax.stop_gradient(unknown)
     known = lax.stop_gradient(known)
-    exact = _resolve_exact(exact)
+    exact = _resolve_exact(exact, op='three_nn')
 
     if not exact:
         # bf16 distance field: halves the HBM bytes of the (B, N, M) tensor
@@ -507,10 +527,19 @@ def three_nn(
         # train/eval-consistent like ball_query. Weights see ~0.4% distance
         # error. Queries are chunked like the exact path so each block's
         # matmul -> approx_min_k stays within a bounded live field.
+        # Round-5 quality knobs (FP interpolation feeds the per-point REG
+        # features; the AP campaign implicates approx 3-NN): EPNET_3NN_F32=1
+        # keeps the distance field f32, EPNET_3NN_RECALL tightens
+        # approx_min_k (default 0.95).
+        import os
+        f32_keys = os.environ.get('EPNET_3NN_F32', '0') == '1'
+        recall = float(os.environ.get('EPNET_3NN_RECALL', '0.95'))
+
         def ablock(queries):  # (B, c, 3)
-            d2 = jnp.clip(_pairwise_d2(queries, known),
-                          0.0, None).astype(jnp.bfloat16)
-            vals, idx = lax.approx_min_k(d2, 3, recall_target=0.95)
+            d2 = jnp.clip(_pairwise_d2(queries, known), 0.0, None)
+            if not f32_keys:
+                d2 = d2.astype(jnp.bfloat16)
+            vals, idx = lax.approx_min_k(d2, 3, recall_target=recall)
             return (jnp.sqrt(vals.astype(jnp.float32)),
                     idx.astype(jnp.int32))
 

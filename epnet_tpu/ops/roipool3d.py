@@ -51,7 +51,7 @@ def roipool3d(
     B, N, _ = xyz.shape
     M = boxes3d.shape[1]
     S = sampled_pt_num
-    exact = _resolve_exact(exact)
+    exact = _resolve_exact(exact, op='roipool')
 
     big = enlarge_box3d(boxes3d.reshape(-1, 7), pool_extra_width).reshape(B, M, 7)
     mask = points_in_boxes3d(xyz, big)  # (B, M, N)
