@@ -87,6 +87,17 @@ class RPNConfig:
     BLOCK_LOCAL: bool = False
     BLOCK_WINDOW: int = 1024
     BLOCK_C: int = 128
+    # TPU extension (round 5): windowed-FP middle mode. Morton-sort the
+    # cloud AND the FPS picks (so every level stays spatially sorted) while
+    # SA grouping stays DENSE — only the FP decoder's windowed 3-NN
+    # interpolation engages, with this window width (0 = off). The round-5
+    # paired-seed campaign collapsed full BLOCK_LOCAL (SA windows were the
+    # first cut, W=256 FP windows the second — ROADMAP.md); this mode keeps
+    # the exact SA neighbourhoods and widens the FP window so each unknown
+    # block of FP_UBLOCK points interpolates from FP_WINDOW consecutive
+    # knowns instead of 256. Approx-family policy: train/eval-consistent.
+    FP_WINDOW: int = 0
+    FP_UBLOCK: int = 256
     SA_CONFIG: SAConfigRPN = field(default_factory=SAConfigRPN)
     FP_MLPS: Tuple[Tuple[int, ...], ...] = ((128, 128), (256, 256), (512, 512), (512, 512))
     CLS_FC: Tuple[int, ...] = (128,)

@@ -330,13 +330,15 @@ class KittiRCNNDataset(KittiDataset):
 
     def _maybe_morton_sort(self, info):
         """Sort every per-point array by 2-D Morton code when the model's
-        block-local grouping is on (RPN.BLOCK_LOCAL; see ops/block_local.py).
+        block-local grouping (RPN.BLOCK_LOCAL; see ops/block_local.py) or
+        the windowed-FP middle mode (RPN.FP_WINDOW) is on.
 
         Point order is a loader detail — the reference itself returns an
         arbitrary stratified-shuffle order — so only the *joint* permutation
         matters. Runs after augmentation so the codes reflect final coords.
         """
-        if not self.cfg.RPN.BLOCK_LOCAL or 'pts_input' not in info:
+        if not (self.cfg.RPN.BLOCK_LOCAL or self.cfg.RPN.FP_WINDOW > 0) \
+                or 'pts_input' not in info:
             return info
         from ..ops.morton import morton_argsort_np
 

@@ -57,9 +57,11 @@ class PointBackbone(nn.Module):
 
         l_xyz, l_feats = [xyz], [feats]
         # per-level fps indices + Morton-sortedness (level 0 is sorted by the
-        # loader when BLOCK_LOCAL is on; a level stays sorted iff every SA
-        # stage below it took the block-local path, which sorts its picks)
-        l_idx, sorted_ok = [None], [bool(cfg.RPN.BLOCK_LOCAL)]
+        # loader when BLOCK_LOCAL or the FP_WINDOW middle mode is on; a level
+        # stays sorted iff every SA stage below it sorted its picks — the
+        # block-local path does, and FP_WINDOW forces it on the dense path)
+        fp_win_mode = cfg.RPN.FP_WINDOW > 0
+        l_idx, sorted_ok = [None], [bool(cfg.RPN.BLOCK_LOCAL) or fp_win_mode]
 
         if li.ENABLED:
             # normalize pixel coords to [-1, 1] (pointnet2_msg.py:207-210)
@@ -75,7 +77,7 @@ class PointBackbone(nn.Module):
                 npoint=sa.NPOINTS[i], radii=sa.RADIUS[i], nsamples=sa.NSAMPLE[i],
                 mlps=sa.MLPS[i], use_xyz=True, bn=cfg.RPN.USE_BN, dtype=dt,
                 sampler=cfg.RPN.SAMPLING, fps_groups=cfg.RPN.FPS_GROUPS,
-                block_local=cfg.RPN.BLOCK_LOCAL,
+                block_local=cfg.RPN.BLOCK_LOCAL, sort_fps=fp_win_mode,
                 block_window=cfg.RPN.BLOCK_WINDOW, block_c=cfg.RPN.BLOCK_C,
                 name=f'sa{i}')(l_xyz[i], l_feats[i], train=train, bn_momentum=bn_momentum)
 
@@ -96,10 +98,11 @@ class PointBackbone(nn.Module):
             l_xyz.append(li_xyz)
             l_feats.append(li_feats_i)
             l_idx.append(fps_idx)
-            sorted_ok.append(sorted_ok[i] and sa_uses_block_local(
-                cfg.RPN.BLOCK_LOCAL, sa.NPOINTS[i], sa.RADIUS[i],
-                sa.NSAMPLE[i], l_xyz[i].shape[1], cfg.RPN.BLOCK_WINDOW,
-                cfg.RPN.BLOCK_C))
+            sorted_ok.append(sorted_ok[i] and (fp_win_mode or
+                sa_uses_block_local(
+                    cfg.RPN.BLOCK_LOCAL, sa.NPOINTS[i], sa.RADIUS[i],
+                    sa.NSAMPLE[i], l_xyz[i].shape[1], cfg.RPN.BLOCK_WINDOW,
+                    cfg.RPN.BLOCK_C)))
 
         # FP decoder with skip connections (pointnet2_msg.py:232-235); when
         # both levels are Morton-sorted, the stage takes the windowed
@@ -107,10 +110,15 @@ class PointBackbone(nn.Module):
         n_fp = len(cfg.RPN.FP_MLPS)
         # EPNET_FP_BLOCK=0: bisection knob — keep SA block-local but route
         # the FP decoder through the dense three_nn interpolation
-        fp_block = (cfg.RPN.BLOCK_LOCAL
+        fp_block = ((cfg.RPN.BLOCK_LOCAL or fp_win_mode)
                     and os.environ.get('EPNET_FP_BLOCK', '1') != '0')
+        # the middle mode interpolates from FP_WINDOW knowns per FP_UBLOCK
+        # unknowns; full block-local keeps the round-4 256/512 geometry
+        fp_w = cfg.RPN.FP_WINDOW if fp_win_mode else 256
+        fp_u = cfg.RPN.FP_UBLOCK if fp_win_mode else 512
         fp_mods = [FPModule(mlp=cfg.RPN.FP_MLPS[k], bn=cfg.RPN.USE_BN, dtype=dt,
-                            block_local=fp_block, name=f'fp{k}')
+                            block_local=fp_block, window=fp_w, ublock=fp_u,
+                            name=f'fp{k}')
                    for k in range(n_fp)]
         for i in range(-1, -(n_fp + 1), -1):
             l_feats[i - 1] = fp_mods[i](

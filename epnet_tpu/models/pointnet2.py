@@ -106,6 +106,11 @@ class SAModuleMSG(nn.Module):
     block_local: bool = False
     block_window: int = 1024
     block_c: int = 128
+    # sort FPS picks ascending even on the DENSE grouping path (the
+    # RPN.FP_WINDOW middle mode): keeps every level Morton-sorted so the
+    # FP decoder can ride the windowed interpolation while SA
+    # neighbourhoods stay exact-field
+    sort_fps: bool = False
 
     @nn.compact
     def __call__(self, xyz, features=None, train: bool = False, bn_momentum=0.1):
@@ -134,7 +139,7 @@ class SAModuleMSG(nn.Module):
             else:
                 fps_idx = furthest_point_sample(xyz, self.npoint,
                                                 groups=self.fps_groups)
-            if use_bl or use_win:
+            if use_bl or use_win or self.sort_fps:
                 # centroid order is free downstream (sample-max / FP interp
                 # are order-invariant); ascending order keeps the selected
                 # subset Morton-sorted so every deeper stage stays

@@ -340,3 +340,57 @@ def test_block_local_group_multi_bitexact_vs_index_semantics():
             np.testing.assert_array_equal(gx[m], wxy[idx])
             np.testing.assert_array_equal(
                 gf[m], feats[w0:w0 + window][idx])
+
+
+def test_fp_window_middle_mode_wiring_and_engagement():
+    """RPN.FP_WINDOW > 0 (round-5 middle mode): SA grouping stays dense but
+    FPS picks are sorted ascending, levels stay Morton-sorted, and exactly
+    the FP stages whose shapes qualify take the windowed interpolation at
+    the configured width. Output must be finite and the windowed stage must
+    actually engage (captured via a recording wrapper)."""
+    import jax
+    from epnet_tpu.models import pointnet2 as p2
+    from epnet_tpu.models.backbone import PointBackbone
+    from epnet_tpu.ops import pointops
+    from epnet_tpu.utils.testing import tiny_config
+
+    cfg = tiny_config(li_fusion=False, rcnn=False)
+    cfg = cfg.merged({'RPN': {
+        'NUM_POINTS': 2048, 'FP_WINDOW': 512, 'FP_UBLOCK': 256,
+        'SA_CONFIG': {'NPOINTS': (512, 128, 64, 32)}}})
+    assert cfg.RPN.BLOCK_LOCAL is False  # middle mode, not block-local
+
+    rng = np.random.RandomState(11)
+    pts, _, _ = structured_scene(rng, 2048, n_cars=6)
+    xyz = pts[:, :3].astype(np.float32)
+    xyz = xyz[morton_argsort_np(xyz)]
+    x = jnp.asarray(xyz[None])
+
+    calls = []
+    orig = p2.block_local_three_interp
+
+    def recording(unknown, known, feats, kidx, ublock, window):
+        # known_idx must be ascending (sorted FPS picks) for the windowed
+        # bisection to be valid
+        assert (np.diff(np.asarray(kidx)[0]) > 0).all()
+        calls.append((unknown.shape[1], known.shape[1], ublock, window))
+        return orig(unknown, known, feats, kidx, ublock=ublock, window=window)
+
+    old_q = pointops.EXACT_QUERIES
+    pointops.EXACT_QUERIES = False
+    p2.block_local_three_interp = (
+        lambda u, k, f, i, ublock, window: recording(u, k, f, i, ublock, window))
+    try:
+        bb = PointBackbone(cfg)
+        v = bb.init(jax.random.PRNGKey(0), x)
+        out_xyz, out_feats = bb.apply(v, x)
+    finally:
+        p2.block_local_three_interp = orig
+        pointops.EXACT_QUERIES = old_q
+
+    # only fp0 qualifies (unknown 2048 % 256 == 0, knowns 512 >= window 512);
+    # fp1..fp3 have too few knowns and must stay dense. Two traces: init +
+    # apply.
+    assert calls == [(2048, 512, 256, 512)] * 2, calls
+    assert np.isfinite(np.asarray(out_feats)).all()
+    assert out_feats.shape == (1, 2048, cfg.RPN.FP_MLPS[0][-1])

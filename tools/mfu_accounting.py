@@ -50,6 +50,13 @@ TRAIN_CUTS = {
     'rcnn': ('rcnn/',),
 }
 
+# Each cut costs TWO fresh XLA compiles of the full fwd+bwd program (k=1
+# and k=K); on a cold compile cache that is minutes per cut, so
+# EPNET_MFU_CUTS=baseline,img_all,... selects a subset.
+_sel = os.environ.get('EPNET_MFU_CUTS', '')
+if _sel:
+    TRAIN_CUTS = {k: TRAIN_CUTS[k] for k in _sel.split(',')}
+
 
 def measure(mk, *args):
     """Compile mk(1) and mk(K) ONCE each (AOT), time both, and read the

@@ -77,7 +77,7 @@ def main():
         kv = []
         knobs = set(args.knobs.split(','))
         assert knobs <= {'fps', 'block', 'blockrpn', 'blockrcnn', 'queries',
-                         'residual'}, knobs
+                         'residual', 'fpwin'}, knobs
         if 'fps' in knobs:
             kv += ['RPN.FPS_GROUPS', '8']
         if 'block' in knobs:
@@ -92,6 +92,13 @@ def main():
             # tri-state policy: block-local paths on, residual ops exact
             # (the round-5 fix for the block x approx collapse)
             kv += ['EXACT_QUERIES', 'residual']
+        if 'fpwin' in knobs:
+            # round-5 middle mode: dense SA + sorted FPS + windowed FP at
+            # a doubled window (see config.RPN.FP_WINDOW); pairs against
+            # the 'queries' cell to isolate the windowed-FP quality cost
+            # at W=512 from the full block-local collapse at W=256
+            kv += ['RPN.FP_WINDOW', '512', 'RPN.FP_UBLOCK', '256',
+                   'EXACT_QUERIES', 'False']
         overrides = ['--set', 'MIXED_PRECISION', 'True'] + kv
 
     train_cmd = [sys.executable, os.path.join(REPO, 'tools', 'train.py'),
