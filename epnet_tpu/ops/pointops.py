@@ -55,6 +55,20 @@ def block_local_allowed() -> bool:
     return not _resolve_exact(None)
 
 
+def _ball_knobs():
+    """Round-5 quality knobs for the approx ball family (mirroring the
+    3-NN knobs): EPNET_BALL_F32=1 keeps the key field f32 — exact distance
+    ordering / nearest-first ranking and exact inner-radius membership at
+    2x the key bytes — and EPNET_BALL_RECALL tightens ``approx_max_k``
+    (default 0.95). Candidates for repairing the approx-query AP cost
+    found by the round-5 paired pin (`--knobs queries`: 6.56 vs parity
+    16.3 moderate 3D AP) without paying the ~7x exact-ball cost."""
+    import os
+    f32 = os.environ.get('EPNET_BALL_F32', '0') == '1'
+    recall = float(os.environ.get('EPNET_BALL_RECALL', '0.95'))
+    return f32, recall
+
+
 def approx_allowed(op: str) -> bool:
     """Whether the policy (incl. the per-op EPNET_EXACT_OPS override)
     permits the approximate path for this op family — used by model-side
@@ -351,12 +365,15 @@ def _ball_from_d2_approx(d2: jnp.ndarray, radius: float, nsample: int,
     -(N-1)`` sits strictly above ``key_dtype(-2N)`` for any N, so the test
     is exact even when -2N itself is not representable.
     """
+    f32_keys, recall = _ball_knobs()
+    if f32_keys:
+        key_dtype = jnp.float32
     N = d2.shape[-1]
     mask = d2 < radius * radius
     iota = -jnp.arange(N, dtype=jnp.float32).astype(key_dtype)
     sent = jnp.asarray(-2.0 * N, key_dtype)
     keys = jnp.where(mask, iota, sent)
-    v, idx = lax.approx_max_k(keys, nsample, recall_target=0.95)
+    v, idx = lax.approx_max_k(keys, nsample, recall_target=recall)
     idx = idx.astype(jnp.int32)
     valid = v > sent.astype(v.dtype)
     cnt = jnp.sum(valid, axis=-1)
@@ -461,12 +478,14 @@ def ball_query_nested(radii, nsamples, xyz, new_xyz):
     inv = jnp.float32(1.0 / r_max)
     xs, cs = xyz * inv, new_xyz * inv
 
+    kdt_, recall_ = _ball_knobs()
+    kdt = jnp.float32 if kdt_ else jnp.bfloat16
+
     def blk(cen_blk):
         d2n = _pairwise_d2(cen_blk, xs)            # = d2 / r_max^2
         mask = d2n < 1.0                           # exact f32 outer test
-        keys = jnp.where(mask, (-d2n).astype(jnp.bfloat16),
-                         jnp.asarray(-4.0, jnp.bfloat16))
-        v, idx = lax.approx_max_k(keys, s_max, recall_target=0.95)
+        keys = jnp.where(mask, (-d2n).astype(kdt), jnp.asarray(-4.0, kdt))
+        v, idx = lax.approx_max_k(keys, s_max, recall_target=recall_)
         idx = idx.astype(jnp.int32)
         vf = v.astype(jnp.float32)                 # descending = nearest first
         valid = vf > -2.0
