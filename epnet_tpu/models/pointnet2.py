@@ -25,6 +25,9 @@ from ..ops.pointops import (
     ball_query,
     ball_query_multi,
     ball_query_nested,
+    ball_query_nested_first_hit,
+    ball_policy,
+    nested_radius_select,
     furthest_point_sample,
     gather_points,
     group_points,
@@ -192,6 +195,7 @@ class SAModuleMSG(nn.Module):
             return gf
 
         scale_idx = nested_cnts = win_idx = win_starts = bl_groups = None
+        nested_fh = False
         if use_win:
             # dense VPU field + global bucket select, then an elementwise
             # window-relative conversion (per-block slicing in the query is
@@ -216,8 +220,20 @@ class SAModuleMSG(nn.Module):
                     radii, ns, xyz, gfeats, fps_idx, new_xyz,
                     window=self.block_window, block_c=self.block_c)
             elif (len(radii) > 1 and radii == sorted(radii) and ns == sorted(ns)
-                    and approx_allowed('ball')):
-                nest_idx, nested_cnts = ball_query_nested(radii, ns, xyz, new_xyz)
+                    and approx_allowed('ball')
+                    and ball_policy() != 'first_multi'):
+                # selection policy (round-5 repair, ops/pointops.ball_policy):
+                # first-hit nested keeps the reference's spread-subset
+                # semantics at the one-field/one-gather nested price;
+                # nearest-first is the round-2..4 policy (AP-collapsing at
+                # full scale, kept for reproduction)
+                nested_fh = ball_policy() == 'first_nested'
+                if nested_fh:
+                    nest_idx = ball_query_nested_first_hit(
+                        radii, ns, xyz, new_xyz)
+                else:
+                    nest_idx, nested_cnts = ball_query_nested(
+                        radii, ns, xyz, new_xyz)
                 if pack:
                     g_full = group_points(table, nest_idx)
                 else:
@@ -276,6 +292,28 @@ class SAModuleMSG(nn.Module):
                 if bl_groups is not None:
                     grouped_xyz = bl_groups[i][0] - new_xyz[:, :, None, :]
                     grouped = bl_groups[i][1]
+                elif nested_fh:
+                    # first-hit nested (round-5 repair): scale i keeps the
+                    # gathered rows inside its own radius (set-exact
+                    # first-hit semantics within the outer-s_max window);
+                    # every scale feeds s_max rows to its MLP — the extra
+                    # rows are pad duplicates, free under the sample-max
+                    outer = i == len(self.nsamples) - 1
+                    full = g_full if pack else gx_full
+                    gx_f = full[..., 0:3] - new_xyz[:, :, None, :]
+                    d2f = jnp.sum(gx_f * gx_f, axis=-1)  # f32, (B, M, s_max)
+                    r2 = float(self.radii[i]) ** 2
+                    if pack:
+                        gt = nested_radius_select(g_full, d2f, r2, outer)
+                        grouped_xyz = gt[..., 0:3] - new_xyz[:, :, None, :]
+                        grouped = unpack_feats(gt)
+                    else:
+                        grouped_xyz = (nested_radius_select(gx_full, d2f, r2,
+                                                            outer)
+                                       - new_xyz[:, :, None, :])
+                        grouped = (nested_radius_select(gf_full, d2f, r2,
+                                                        outer)
+                                   if gf_full is not None else None)
                 elif nested_cnts is not None:
                     s_i = self.nsamples[i]
 

@@ -55,6 +55,42 @@ def block_local_allowed() -> bool:
     return not _resolve_exact(None)
 
 
+def ball_policy() -> str:
+    """Approx multi-scale ball SELECTION POLICY for the RPN MSG stages
+    (round-5 quality repair; see ROADMAP "THE REPAIR"):
+
+    - ``first_nested``: one outer-radius FIRST-HIT field + select +
+      gather; inner scales derived by radius-masking the gathered rows
+      (``ball_query_nested_first_hit`` + ``nested_radius_select``).
+      The reference's selection policy at the nested price.
+    - ``first_multi``: per-scale first-hit approx queries
+      (``ball_query_multi``) — the config the round-5 paired AP cell
+      validated at 35.19 moderate 3D AP (parity 16.3); ~7 scans/s
+      slower than nested at eval.
+    - ``nearest``: the round-2..4 nested NEAREST-FIRST query — measured
+      6.56 moderate 3D AP at full pipeline scale (an overflowing ball
+      keeps only its inner shell; box regression loses the outer-ball
+      geometry). Kept for reproduction only.
+
+    DEFAULT: ``first_nested`` — paired-pin 26.44 moderate 3D AP (parity
+    16.3) at 68.96 scans/s eval on v5e (1.036x the A100 anchor), vs
+    first_multi 35.19 AP / 62.7 scans/s and nearest 6.56 / 69.7
+    (2026-08-21; both first-hit cells are at-or-above parity — the
+    35.2-vs-26.4 spread is within the campaign's pairing noise, see the
+    parity seed band).
+
+    Env: EPNET_BALL_POLICY, with EPNET_BALL_NESTED=0 accepted as an
+    alias for ``first_multi`` (the round-5 attribution knob)."""
+    import os
+    pol = os.environ.get('EPNET_BALL_POLICY', '')
+    if pol:
+        assert pol in ('nearest', 'first_multi', 'first_nested'), pol
+        return pol
+    if os.environ.get('EPNET_BALL_NESTED', '1') == '0':
+        return 'first_multi'
+    return 'first_nested'
+
+
 def _ball_knobs():
     """Round-5 quality knobs for the approx ball family (mirroring the
     3-NN knobs): EPNET_BALL_F32=1 keeps the key field f32 — exact distance
@@ -426,6 +462,90 @@ def ball_query_multi(radii, nsamples, xyz, new_xyz, exact: bool = None):
             out = lax.map(blk, chunks)  # (M//ch, B, ch, s)
             outs.append(jnp.moveaxis(out, 0, 1).reshape(B, M, s))
     return outs
+
+
+def ball_query_nested_first_hit(radii, nsamples, xyz, new_xyz):
+    """Nested FIRST-HIT multi-scale ball query (round-5 TPU approx path).
+
+    Same one-field / one-``approx_max_k`` / one-gather cost shape as
+    ``ball_query_nested``, but with the reference's FIRST-HIT selection
+    policy (ball_query_gpu.cu:34-43): keys are ``-index`` masked by the
+    OUTER radius, so the selected ``s_max`` rows are the first (lowest
+    index) outer-ball hits in scan order. Inner scales are derived by the
+    CONSUMER from the gathered rows' own squared distances
+    (``nested_radius_select``): scale i keeps every gathered row inside
+    ``radii[i]`` — the first-hit inner subset, truncated only when an
+    inner ball's hits extend past the first ``s_max`` outer hits — and
+    pads the rest with the first in-radius row, so the per-scale row SET
+    matches first-hit semantics and the sample-max consumer is exact on
+    that set. Motivation: the round-5 paired AP campaign isolated the
+    nearest-first policy as the approx family's entire quality cost
+    (parity 16.3 / nearest-first 6.56 / per-scale first-hit 35.19
+    moderate 3D AP — ROADMAP), and the per-scale first-hit query costs
+    ~7 scans/s of eval headline (two fields + 48 gathered rows at sa0);
+    this keeps the repaired policy at the nested price.
+
+    Empty/short-ball semantics: slots past the outer hit count repeat
+    slot 0 (the first hit); fully-empty balls return index 0 (the
+    reference gathers unrelated point 0, same family).
+
+    :return: idx (B, M, s_max) int32, index-ascending first hits,
+        pad-resolved.
+    """
+    assert list(radii) == sorted(list(radii))
+    xyz = lax.stop_gradient(xyz)
+    new_xyz = lax.stop_gradient(new_xyz)
+    B, N = xyz.shape[0], xyz.shape[1]
+    M = new_xyz.shape[1]
+    r_max = float(radii[-1])
+    s_max = int(nsamples[-1])
+    inv = jnp.float32(1.0 / r_max)
+    xs, cs = xyz * inv, new_xyz * inv
+    _, recall_ = _ball_knobs()
+
+    def blk(cen_blk):
+        d2n = _pairwise_d2(cen_blk, xs)            # = d2 / r_max^2
+        # f32 -iota keys: indices < 2^24 exact; sentinel below every key.
+        # (bf16 index keys measured within noise of f32 on-chip — the field
+        # cost is elsewhere — so keys stay exact.)
+        return _ball_from_d2_approx(d2n, 1.0, s_max, key_dtype=jnp.float32)
+
+    ch = _chunk_size(M, (64 * 1024 * 1024) // max(B * N, 1))
+    if ch == M:
+        return blk(cs)
+    chunks = jnp.moveaxis(cs.reshape(B, M // ch, ch, 3), 1, 0)
+    out = lax.map(blk, chunks)
+    return jnp.moveaxis(out, 0, 1).reshape(B, M, s_max)
+
+
+def nested_radius_select(full, d2, r2: float, outer: bool):
+    """Per-scale row select for ``ball_query_nested_first_hit``'s consumer.
+
+    :param full: (B, M, S, C) rows gathered at the outer-scale indices.
+    :param d2: (B, M, S) f32 squared distance of each row to its centroid
+        (recomputed from the gathered coordinates — free at S=32).
+    :param r2: this scale's squared radius; outer: True for the outermost
+        scale (rows already pad-resolved by the query).
+    :return: (B, M, S, C) rows whose in-radius set is exactly the gathered
+        rows inside this radius; out-of-radius slots hold the first
+        in-radius row (all-empty balls keep slot 0, the reference's
+        unrelated-point-0 family).
+    """
+    if outer:
+        return full
+    mask = d2 < r2
+    first = jnp.argmax(mask, axis=-1)              # first in-radius slot
+    # pad row moves via a GATHER, never arithmetic: ``full`` may carry
+    # bitcast-packed bf16 feature lanes (SAModuleMSG's packed table),
+    # whose f32 bit patterns must not transit the MXU/VPU (subnormal
+    # flush / NaN canonicalization would corrupt the packed halves).
+    # ~32K rows/scale at sa0 — ~0.3 ms, vs the per-scale field this
+    # replaces. All-empty balls keep slot 0 (first OUTER hit; the
+    # reference gathers unrelated point 0 — same family).
+    pad = jnp.take_along_axis(full, first[..., None, None], axis=2)
+    any_hit = jnp.any(mask, axis=-1)[..., None, None]
+    sel = jnp.where(mask[..., None], full, pad)
+    return jnp.where(any_hit, sel, full[:, :, 0:1, :])
 
 
 def ball_query_nested(radii, nsamples, xyz, new_xyz):

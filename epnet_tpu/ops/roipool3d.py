@@ -71,8 +71,13 @@ def roipool3d(
         # selection-policy approximation family as above (train and eval
         # share it; quality pinned by tests/test_overfit.py + the e2e
         # ablation in tools/verify_tpu_ops.py).
+        # EPNET_ROIPOOL_RECALL (round-5 quality knob, default 0.9):
+        # tightening candidate if the per-op AP attribution implicates the
+        # roipool selection (see _ball_knobs / the 3-NN knobs).
+        import os
+        rc = float(os.environ.get('EPNET_ROIPOOL_RECALL', '0.9'))
         keys = jnp.where(mask, -iota.astype(jnp.float32), -2.0 * N)
-        v, first_k = lax.approx_max_k(keys, k, recall_target=0.9)
+        v, first_k = lax.approx_max_k(keys, k, recall_target=rc)
         found = v > -2.0 * N
         first_k = jnp.where(found, first_k, N).astype(jnp.int32)
         # effective count = points actually recovered (recall misses wrap)

@@ -267,12 +267,18 @@ def test_sa_module_nested_matches_per_scale_nearest(rng, ns):
     params = mod.init(jax.random.PRNGKey(0), jnp.asarray(xyz),
                       jnp.asarray(feats))
 
+    import os
     old = pointops.EXACT_QUERIES
     pointops.EXACT_QUERIES = False  # approx path -> nested on
+    # this test pins the NEAREST-FIRST nested implementation specifically
+    # (the round-5 default is first_nested; its set-semantics test is
+    # test_ball_query_nested_first_hit_matches_exact_sets)
+    os.environ['EPNET_BALL_POLICY'] = 'nearest'
     try:
         nx, nf, _ = mod.apply(params, jnp.asarray(xyz), jnp.asarray(feats))
     finally:
         pointops.EXACT_QUERIES = old
+        del os.environ['EPNET_BALL_POLICY']
     nx, nf = np.asarray(nx), np.asarray(nf)
     assert np.isfinite(nf).all()
 
@@ -411,3 +417,59 @@ def test_roipool3d_approx_mask_score_reweighting(rng):
                  0).astype(np.float32)
     got = np.sum(np.asarray(pf_a[..., 0]) * w, axis=-1) / S
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_ball_query_nested_first_hit_matches_exact_sets():
+    """First-hit nested (round-5 repair): where no truncation applies
+    (outer ball fits in s_max, inner ball fits in nsample_i), the per-scale
+    in-radius row sets derived via nested_radius_select must equal the
+    EXACT first-hit ball_query's distinct-member sets."""
+    import numpy as np
+    import jax.numpy as jnp
+    from epnet_tpu.ops.pointops import (ball_query,
+                                        ball_query_nested_first_hit,
+                                        nested_radius_select)
+
+    rng = np.random.RandomState(5)
+    xyz = rng.randn(2, 256, 3).astype(np.float32) * 1.5
+    cen = xyz[:, ::16][:, :16]  # 16 centroids (cloud points -> nonempty)
+    radii, ns = [0.4, 0.8], [8, 16]
+
+    idx = np.asarray(ball_query_nested_first_hit(radii, ns, jnp.asarray(xyz),
+                                                 jnp.asarray(cen)))
+    # derive per-scale sets from gathered rows (the consumer's path)
+    rows = np.stack([xyz[b][idx[b]] for b in range(2)])     # (B, M, S, 3)
+    d2 = ((rows - cen[:, :, None, :]) ** 2).sum(-1)
+
+    sel_in = np.asarray(nested_radius_select(
+        jnp.asarray(rows), jnp.asarray(d2.astype(np.float32)),
+        radii[0] ** 2, outer=False))
+
+    ex0 = np.asarray(ball_query(radii[0], ns[0], jnp.asarray(xyz),
+                                jnp.asarray(cen), exact=True))
+    ex1 = np.asarray(ball_query(radii[1], ns[1], jnp.asarray(xyz),
+                                jnp.asarray(cen), exact=True))
+
+    checked = 0
+    for b in range(2):
+        for m in range(16):
+            d2_all = ((xyz[b] - cen[b, m]) ** 2).sum(-1)
+            cnt_out = (d2_all < radii[1] ** 2).sum()
+            cnt_in = (d2_all < radii[0] ** 2).sum()
+            if cnt_out > ns[1] or cnt_in > ns[0] or cnt_in == 0:
+                continue
+            checked += 1
+            # outer scale: distinct indices == exact first-hit set
+            got_out = set(idx[b, m].tolist())
+            want_out = set(ex1[b, m].tolist())
+            assert got_out == want_out, (b, m)
+            # inner scale: the in-radius ROWS of the padded select == the
+            # exact inner first-hit member set
+            mask = d2[b, m] < radii[0] ** 2
+            got_rows = {tuple(r) for r in sel_in[b, m][mask].tolist()}
+            want_rows = {tuple(xyz[b][j].tolist()) for j in set(ex0[b, m].tolist())}
+            assert got_rows == want_rows, (b, m)
+            # padded slots repeat an in-radius row
+            pad_rows = {tuple(r) for r in sel_in[b, m][~mask].tolist()}
+            assert pad_rows <= got_rows or not pad_rows
+    assert checked >= 8, checked
